@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sings_tpu.ops.knn import knn
+from sings_tpu.ops.sampling import grid_sample_2d
+from sings_tpu.ops.schedules import cosine_lr, expon_lr
+from sings_tpu.ops.sh import C0, eval_sh, rgb2sh, sh2rgb, sh_to_rgb
+from sings_tpu.ops.ssim import psnr, ssim
+
+
+def test_sh_degree0_constant():
+    sh = jnp.zeros((5, 16, 3)).at[:, 0, :].set(1.0)
+    dirs = jnp.asarray(np.random.RandomState(0).randn(5, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = eval_sh(0, sh, dirs)
+    np.testing.assert_allclose(np.asarray(out), C0, atol=1e-6)
+    out3 = eval_sh(3, sh, dirs)
+    np.testing.assert_allclose(np.asarray(out3), C0, atol=1e-6)
+
+
+def test_sh_rgb_roundtrip():
+    rgb = jnp.asarray(np.random.RandomState(1).rand(10, 3).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(sh2rgb(rgb2sh(rgb))), np.asarray(rgb),
+                               atol=1e-6)
+    # dc-only sh evaluated in any direction reproduces the rgb (clamped)
+    sh = jnp.zeros((10, 16, 3)).at[:, 0, :].set(rgb2sh(rgb))
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (10, 1))
+    np.testing.assert_allclose(np.asarray(sh_to_rgb(3, sh, dirs)),
+                               np.asarray(rgb), atol=1e-6)
+
+
+def test_ssim_identity_and_range():
+    img = jnp.asarray(np.random.RandomState(2).rand(3, 32, 32).astype(np.float32))
+    assert float(ssim(img, img)) > 0.9999
+    noise = img + 0.5 * jnp.asarray(
+        np.random.RandomState(3).randn(3, 32, 32).astype(np.float32))
+    assert float(ssim(img, noise)) < 0.9
+
+
+def test_psnr():
+    img = jnp.zeros((3, 8, 8))
+    np.testing.assert_allclose(float(psnr(img, img + 0.1)), 20.0, rtol=1e-4)
+
+
+def test_grid_sample_matches_manual_bilinear():
+    rng = np.random.RandomState(4)
+    grid = jnp.asarray(rng.rand(2, 5, 7).astype(np.float32))
+    # sample exactly at grid nodes (align_corners=True semantics)
+    ys, xs = np.meshgrid(np.arange(5), np.arange(7), indexing="ij")
+    coords = np.stack(
+        [xs.ravel() / 6 * 2 - 1, ys.ravel() / 4 * 2 - 1], axis=-1
+    ).astype(np.float32)
+    out = grid_sample_2d(grid, jnp.asarray(coords))
+    expect = np.asarray(grid).reshape(2, -1).T
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-6)
+    # border padding: out-of-range clamps
+    far = jnp.asarray([[5.0, 5.0], [-5.0, -5.0]], jnp.float32)
+    out = grid_sample_2d(grid, far)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(grid[:, 4, 6]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(grid[:, 0, 0]), atol=1e-6)
+
+
+def test_grid_sample_grads_flow_to_coords_and_grid():
+    grid = jnp.asarray(np.random.RandomState(5).rand(2, 8, 8).astype(np.float32))
+    coords = jnp.asarray([[0.13, -0.27], [0.5, 0.5]], jnp.float32)
+    g_grid, g_coords = jax.grad(
+        lambda g, c: grid_sample_2d(g, c).sum(), argnums=(0, 1)
+    )(grid, coords)
+    assert float(jnp.abs(g_grid).sum()) > 0
+    assert float(jnp.abs(g_coords).sum()) > 0
+
+
+def test_knn_small():
+    pts = jnp.asarray([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [10, 10, 10]])
+    d, idx = knn(pts, k=2, block=4)
+    assert idx[0, 0] == 0  # self
+    assert int(idx[0, 1]) in (1, 2)
+    np.testing.assert_allclose(float(d[0, 1]), 1.0, atol=1e-5)
+
+
+def test_knn_valid_mask():
+    pts = jnp.asarray([[0.0, 0, 0], [0.1, 0, 0], [0.2, 0, 0], [0.3, 0, 0]])
+    valid = jnp.asarray([True, True, False, True])
+    _, idx = knn(pts, k=3, valid=valid, block=4)
+    assert 2 not in np.asarray(idx[0])
+
+
+def test_schedules_match_reference_formulas():
+    f = expon_lr(1e-2, 1e-4, max_steps=100)
+    np.testing.assert_allclose(float(f(0)), 1e-2, rtol=1e-5)
+    np.testing.assert_allclose(float(f(100)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(f(50)), 1e-3, rtol=1e-4)
+    g = cosine_lr(1.0, 0.2, lr_delay_steps=10, t_max=110)
+    np.testing.assert_allclose(float(g(5)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(g(10)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(g(110)), 0.2, rtol=1e-5)
+    np.testing.assert_allclose(float(g(60)), 0.6, rtol=1e-5)
