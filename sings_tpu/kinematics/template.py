@@ -1,0 +1,116 @@
+"""Posable body template on device: SMPL forward + canonical-pose cache.
+
+Replaces the reference's SMPL/SMPLH nn.Modules (smpl_layer.py:561-598,
+smplh_layer.py:268-367) with a functional wrapper over kinematics/lbs:
+given (betas, body_pose, global_orient) it returns vertices plus the
+extras the avatar needs (A, T, shape/pose offsets), and caches the
+canonical-pose ("da_pose") inverse transforms used by the
+canonical->posed gaussian deformation (sings_hybrid.py:578-596).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .body_model import BodyTemplate
+from .lbs import LBSOutput, lbs
+from .poses import predefined_pose
+
+
+class DeviceTemplate(NamedTuple):
+    """BodyTemplate arrays on device + python metadata."""
+
+    v_template: jax.Array
+    shapedirs: jax.Array
+    posedirs: jax.Array | None
+    j_regressor: jax.Array
+    parents: np.ndarray       # static python-side (chain unroll)
+    lbs_weights: jax.Array
+    faces: jax.Array
+    num_body_joints: int      # 23 for smpl, 21 for smplh body part
+
+    @classmethod
+    def from_host(cls, tpl: BodyTemplate) -> "DeviceTemplate":
+        nbj = 23 if tpl.num_joints == 24 else 21
+        return cls(
+            v_template=jnp.asarray(tpl.v_template),
+            shapedirs=jnp.asarray(tpl.shapedirs),
+            posedirs=None if tpl.posedirs is None else jnp.asarray(tpl.posedirs),
+            j_regressor=jnp.asarray(tpl.j_regressor),
+            parents=np.asarray(tpl.parents),
+            lbs_weights=jnp.asarray(tpl.lbs_weights),
+            faces=jnp.asarray(tpl.faces),
+            num_body_joints=nbj,
+        )
+
+
+def full_pose(tpl: DeviceTemplate, global_orient: jax.Array,
+              body_pose: jax.Array) -> jax.Array:
+    """Assemble the (B, J*3) full pose: root + body (+ zero hands)."""
+    b = body_pose.shape[0]
+    nj = tpl.parents.shape[0]
+    body = body_pose[:, : tpl.num_body_joints * 3]
+    rest = nj - 1 - tpl.num_body_joints
+    parts = [global_orient.reshape(b, 3), body]
+    if rest > 0:
+        parts.append(jnp.zeros((b, rest * 3), body_pose.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def smpl_forward(
+    tpl: DeviceTemplate,
+    betas: jax.Array,
+    body_pose: jax.Array,
+    global_orient: jax.Array | None = None,
+    *,
+    disable_posedirs: bool = False,
+) -> LBSOutput:
+    """Pose the template. Shapes: betas (B, nb) or (nb,), body_pose
+    (B, 69/63...) or 1-D, global_orient (B, 3) or (3,) or None."""
+    if betas.ndim == 1:
+        betas = betas[None]
+    if body_pose.ndim == 1:
+        body_pose = body_pose[None]
+    b = max(betas.shape[0], body_pose.shape[0])
+    if betas.shape[0] != b:
+        betas = jnp.broadcast_to(betas, (b, betas.shape[-1]))
+    if body_pose.shape[0] != b:
+        body_pose = jnp.broadcast_to(body_pose, (b, body_pose.shape[-1]))
+    if global_orient is None:
+        global_orient = jnp.zeros((b, 3), body_pose.dtype)
+    elif global_orient.ndim == 1:
+        global_orient = jnp.broadcast_to(global_orient[None], (b, 3))
+
+    pose = full_pose(tpl, global_orient, body_pose)
+    return lbs(
+        betas, pose, tpl.v_template, tpl.shapedirs, tpl.posedirs,
+        tpl.j_regressor, jnp.asarray(tpl.parents), tpl.lbs_weights,
+        pose2rot=True, disable_posedirs=disable_posedirs,
+    )
+
+
+class CanonicalCache(NamedTuple):
+    """Cached canonical-pose quantities (sings_hybrid.py:578-596)."""
+
+    canonical_verts: jax.Array  # (V, 3)
+    A_t2cano: jax.Array         # (J, 4, 4)
+    inv_A_t2cano: jax.Array     # (J, 4, 4)
+    canonical_offsets: jax.Array  # (V, 3) shape+pose offsets at canonical
+
+
+def canonical_pose_cache(
+    tpl: DeviceTemplate, betas: jax.Array,
+    pose_type: str = "da_pose",
+) -> CanonicalCache:
+    body_pose = jnp.asarray(predefined_pose(pose_type))[None]
+    out = smpl_forward(tpl, betas.reshape(1, -1), body_pose,
+                       disable_posedirs=False)
+    return CanonicalCache(
+        canonical_verts=out.verts[0],
+        A_t2cano=out.A[0],
+        inv_A_t2cano=jnp.linalg.inv(out.A[0]),
+        canonical_offsets=(out.shape_offsets + out.pose_offsets)[0],
+    )

@@ -1,0 +1,197 @@
+"""Public differentiable rasterizer API.
+
+rasterize() = pure-JAX preprocess (autodiff) + tiled Pallas composite
+(custom VJP). Numerics match the reference's external CUDA
+diff-gaussian-rasterization (see common.py / pallas_kernels.py headers
+for the convention-by-convention mapping).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graphics import Camera
+from .common import Gaussians2D, preprocess
+from .pallas_kernels import NFEAT, composite_bwd, composite_fwd
+from .reference import composite_dense
+from .tiles import bin_gaussians
+
+
+class RasterConfig(NamedTuple):
+    """Static kernel configuration (hashable: used as nondiff arg)."""
+
+    height: int
+    width: int
+    tile: int = 16
+    chunk: int = 128
+    max_span: int = 5
+    max_pairs: int | None = None
+    interpret: bool = False
+
+
+def _pad_tiles(cfg: RasterConfig):
+    ntx = -(-cfg.width // cfg.tile)
+    nty = -(-cfg.height // cfg.tile)
+    return ntx, nty
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _composite_tiled(cfg, means2d, conics, colors, opacities, depths,
+                     radii_f, mask_f):
+    out, _res = _composite_fwd(cfg, means2d, conics, colors, opacities,
+                               depths, radii_f, mask_f)
+    return out
+
+
+def _gather_feats(binning, means2d, conics, colors, opacities):
+    n = means2d.shape[0]
+    idx = jnp.clip(binning.padded_gauss, 0)
+    valid = binning.padded_gauss >= 0
+    feat = jnp.concatenate(
+        [means2d, conics, colors, opacities[:, None],
+         jnp.zeros((n, NFEAT - 9), means2d.dtype)], axis=1
+    )
+    # (NFEAT, P_pad) transposed layout — see pallas_kernels module docstring
+    return (feat[idx] * valid[:, None]).T, valid
+
+
+def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
+                   radii_f, mask_f):
+    ntx, nty = _pad_tiles(cfg)
+    g2d = Gaussians2D(
+        means2d=means2d, depths=depths, conics=conics, colors=colors,
+        opacities=opacities, radii=radii_f.astype(jnp.int32),
+        mask=mask_f > 0.5,
+    )
+    binning = bin_gaussians(
+        g2d, tile=cfg.tile, n_tiles_x=ntx, n_tiles_y=nty,
+        max_span=cfg.max_span, align=cfg.chunk, max_pairs=cfg.max_pairs,
+    )
+    feats, valid = _gather_feats(binning, means2d, conics, colors, opacities)
+    out = composite_fwd(
+        feats, binning.tile_offsets, tile=cfg.tile, chunk=cfg.chunk,
+        n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
+    )
+    # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance
+    color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
+    color = color.transpose(2, 0, 3, 1, 4).reshape(
+        3, nty * cfg.tile, ntx * cfg.tile
+    )[:, : cfg.height, : cfg.width]
+    t_final = out[:, 3, :].reshape(nty, ntx, cfg.tile, cfg.tile)
+    t_final = t_final.transpose(0, 2, 1, 3).reshape(
+        nty * cfg.tile, ntx * cfg.tile
+    )[: cfg.height, : cfg.width]
+    res = (feats, binning.tile_offsets, out, binning.pair_slot, valid,
+           means2d.shape[0])
+    return (color, t_final), res
+
+
+def _composite_bwd(cfg, res, cot):
+    g_color, g_t = cot
+    feats, offsets, fwd_out, pair_slot, valid, n = res
+    ntx, nty = _pad_tiles(cfg)
+    hp, wp = nty * cfg.tile, ntx * cfg.tile
+    npx = cfg.tile * cfg.tile
+
+    gc = jnp.zeros((3, hp, wp), g_color.dtype)
+    gc = gc.at[:, : cfg.height, : cfg.width].set(g_color)
+    gt = jnp.zeros((hp, wp), g_t.dtype)
+    gt = gt.at[: cfg.height, : cfg.width].set(g_t)
+
+    gc_tiles = gc.reshape(3, nty, cfg.tile, ntx, cfg.tile).transpose(
+        1, 3, 0, 2, 4
+    ).reshape(nty * ntx, 3, npx)
+    gt_tiles = gt.reshape(nty, cfg.tile, ntx, cfg.tile).transpose(
+        0, 2, 1, 3
+    ).reshape(nty * ntx, 1, npx)
+    gout = jnp.concatenate(
+        [gc_tiles, gt_tiles, jnp.zeros((nty * ntx, 4, npx), gc.dtype)], axis=1
+    )
+
+    pair_grads = composite_bwd(
+        feats, offsets, fwd_out, gout, tile=cfg.tile, chunk=cfg.chunk,
+        n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
+    )
+    pair_grads = jnp.where(valid[None, :], pair_grads, 0.0).T  # (P_pad, NFEAT)
+    pg = pair_grads[pair_slot].reshape(n, -1, NFEAT).sum(axis=1)
+
+    d_means2d = pg[:, 0:2]
+    d_conics = pg[:, 2:5]
+    d_colors = pg[:, 5:8]
+    d_opac = pg[:, 8]
+    zeros_n = jnp.zeros((n,), pg.dtype)
+    return (d_means2d, d_conics, d_colors, d_opac, zeros_n, zeros_n, zeros_n)
+
+
+_composite_tiled.defvjp(_composite_fwd, _composite_bwd)
+
+
+def rasterize(
+    means3d: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    opacities: jax.Array,
+    features: jax.Array,
+    camera: Camera,
+    *,
+    sh_degree: int = 0,
+    bg: jax.Array | None = None,
+    scale_modifier: float = 1.0,
+    alive: jax.Array | None = None,
+    screen_probe: jax.Array | None = None,
+    backend: str = "pallas",
+    tile: int = 16,
+    chunk: int = 128,
+    max_span: int = 5,
+    max_pairs: int | None = None,
+    interpret: bool = False,
+) -> dict:
+    """Differentiable gaussian splatting to an image.
+
+    Mirrors the reference render() contract (gs_renderer_single.py:45-107):
+    returns {'render' (3,H,W) clamped to [0,1] is NOT applied here,
+    'radii', 'visibility_filter', 'transmittance'}.
+
+    screen_probe: optional (N, 2) zeros; its gradient equals the CUDA
+    viewspace_points.grad (NDC-convention screen gradients used by
+    density control: d pixel * 0.5 * {W, H}).
+    """
+    if bg is None:
+        bg = jnp.zeros(3, means3d.dtype)
+    g2d = preprocess(
+        means3d, scales, quats, opacities, features, camera,
+        sh_degree=sh_degree, scale_modifier=scale_modifier, alive=alive,
+    )
+    means2d = g2d.means2d
+    if screen_probe is not None:
+        probe_scale = jnp.array(
+            [0.5 * camera.width, 0.5 * camera.height], means3d.dtype
+        )
+        means2d = means2d + screen_probe * probe_scale
+
+    if backend == "pallas":
+        cfg = RasterConfig(
+            height=camera.height, width=camera.width, tile=tile, chunk=chunk,
+            max_span=max_span, max_pairs=max_pairs, interpret=interpret,
+        )
+        color, t_final = _composite_tiled(
+            cfg, means2d, g2d.conics, g2d.colors, g2d.opacities, g2d.depths,
+            g2d.radii.astype(means3d.dtype), g2d.mask.astype(means3d.dtype),
+        )
+        image = color + t_final[None] * bg[:, None, None]
+    elif backend == "reference":
+        g2d = g2d._replace(means2d=means2d)
+        image, t_final = composite_dense(g2d, camera.height, camera.width, bg)
+    else:
+        raise ValueError(f"unknown backend {backend}")
+
+    return {
+        "render": image,
+        "radii": g2d.radii,
+        "visibility_filter": g2d.radii > 0,
+        "transmittance": t_final,
+        "means2d": means2d,
+    }

@@ -25,9 +25,15 @@ T_EPS = 1e-4
 
 
 def composite_dense(
-    g: Gaussians2D, height: int, width: int, bg: jax.Array
+    g: Gaussians2D, height: int, width: int, bg: jax.Array,
+    tile: int | None = 16,
 ) -> tuple[jax.Array, jax.Array]:
     """Composite all gaussians over every pixel, in depth order.
+
+    tile: when set, a gaussian only affects pixels whose tile lies inside
+    its 3-sigma tile rectangle — the CUDA binning granularity. The tiled
+    kernels and the CUDA implementation share this cutoff; pass None for
+    an uncut mathematical compositor.
 
     Returns (image (3, H, W), final transmittance (H, W)).
     """
@@ -52,6 +58,24 @@ def composite_dense(
     power = -0.5 * (a[None] * dx * dx + c[None] * dy * dy) - b[None] * dx * dy
     alpha_raw = jnp.minimum(0.99, opac[None] * jnp.exp(power))
     skip = (power > 0.0) | (alpha_raw < ALPHA_MIN) | (~mask)[None]
+    if tile is not None:
+        from .common import tile_rect
+
+        ntx = -(-width // tile)
+        nty = -(-height // tile)
+        g_sorted = g._replace(
+            means2d=means2d, radii=g.radii[order], mask=mask,
+            depths=g.depths[order], conics=conics, colors=colors,
+            opacities=opac,
+        )
+        x0, y0, x1, y1 = tile_rect(g_sorted, tile, ntx, nty)
+        ptx = (pix[:, 0] // tile).astype(jnp.int32)
+        pty = (pix[:, 1] // tile).astype(jnp.int32)
+        in_rect = (
+            (x0[None] <= ptx[:, None]) & (ptx[:, None] < x1[None])
+            & (y0[None] <= pty[:, None]) & (pty[:, None] < y1[None])
+        )
+        skip = skip | ~in_rect
     alpha = jnp.where(skip, 0.0, alpha_raw)
 
     one_minus = 1.0 - alpha
