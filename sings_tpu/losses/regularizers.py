@@ -1,0 +1,169 @@
+"""Regularization losses (reference sings/rec/losses/loss_items.py).
+
+All terms operate on padded static buffers with an `alive` mask so the
+jitted train step never sees dynamic shapes:
+  * l2_norm: xyz-offset norm, scale variance, above-threshold scales,
+    below-threshold opacity (loss_items.py:15-54)
+  * gaussians_edge_loss: scale ~ mean KNN edge length (:57-90)
+  * mesh_edge_loss: mean squared edge length (pytorch3d.mesh_edge_loss)
+  * region laplacian: per-region uniform graph laplacian of the anchor
+    mesh, applied as padded gather/segment ops (:93-192). The laplacian
+    structure is precomputed on host after each topology change.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.knn import knn
+
+
+def _masked_norm(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """||x * mask||_2 — matches torch .norm() over selected entries."""
+    sq = jnp.sum((x * mask) ** 2)
+    return jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+
+class L2NormConfig(NamedTuple):
+    lambda_xyz_offsets: float = 0.005
+    lambda_scales_diff: float = 0.005
+    lambda_max_scale: float = 0.001
+    max_scale_threshold: float = 0.008
+    lambda_min_opacity: float = 0.0001
+    min_opacity_threshold: float = 0.2
+
+
+def l2_norm_loss(
+    cfg: L2NormConfig,
+    xyz_offsets: jax.Array,
+    scales: jax.Array,
+    opacity: jax.Array | None,
+    alive: jax.Array,
+) -> jax.Array:
+    n_alive = jnp.maximum(alive.sum(), 1.0)
+    a1 = alive[:, None]
+    s0 = scales[:, 0]
+    mean_s = jnp.sum(s0 * alive) / n_alive
+    scales_diff = (s0 - mean_s) * alive
+    over = (s0 > cfg.max_scale_threshold) & (alive > 0)
+    loss = (
+        cfg.lambda_xyz_offsets * _masked_norm(xyz_offsets, a1)
+        + cfg.lambda_scales_diff * jnp.sqrt(
+            jnp.maximum(jnp.sum(scales_diff**2), 1e-24))
+        + cfg.lambda_max_scale * _masked_norm(s0[:, None], over[:, None])
+    )
+    if opacity is not None:
+        op = opacity.reshape(-1)
+        under = (op < cfg.min_opacity_threshold) & (alive > 0)
+        loss = loss + cfg.lambda_min_opacity * _masked_norm(
+            (0.5 - op)[:, None], under[:, None])
+    return loss
+
+
+def gaussians_edge_loss(
+    xyz_canon: jax.Array, scales: jax.Array, alive: jax.Array, k: int = 9
+) -> jax.Array:
+    """mean (scale_i - mean KNN edge length)^2 (loss_items.py:57-90).
+
+    KNN edge lengths are treated as constants (reference .detach()).
+    """
+    dists, idx = knn(xyz_canon, k, valid=alive > 0)
+    # idx[:, 0] is self; mean over the K-1 neighbors
+    edge_len = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.maximum(dists[:, 1:], 1e-24)).mean(axis=1)
+    )
+    err = (scales[:, 0] - edge_len) ** 2 * alive
+    return err.sum() / jnp.maximum(alive.sum(), 1.0)
+
+
+def mesh_edge_loss(verts: jax.Array, edges: jax.Array,
+                   edge_valid: jax.Array) -> jax.Array:
+    """mean squared edge length over valid (non-padded) edges."""
+    d = verts[edges[:, 0]] - verts[edges[:, 1]]
+    sq = jnp.sum(d * d, axis=1) * edge_valid
+    return sq.sum() / jnp.maximum(edge_valid.sum(), 1.0)
+
+
+class RegionLaplacian(NamedTuple):
+    """Precomputed padded uniform laplacians, one per body region.
+
+    For region r, row i of L is: L[i,i] = -1, L[i,j] = 1/deg(i) for
+    neighbors j (pytorch3d.ops.laplacian convention). We store the
+    neighbor list padded to max degree:
+      neighbors: (R, Vmax, D) int32 indices into the global vertex array
+      nbr_valid: (R, Vmax, D) float 0/1
+      verts_idx: (R, Vmax) int32 global index of each region vertex
+      vert_valid: (R, Vmax) float 0/1
+      weights: (R,) float region weights
+    """
+
+    neighbors: jax.Array
+    nbr_valid: jax.Array
+    verts_idx: jax.Array
+    vert_valid: jax.Array
+    weights: jax.Array
+
+    def loss(self, x: jax.Array, region_weights: jax.Array | None = None,
+             regions: list[int] | None = None) -> jax.Array:
+        """sum_r w_r * mean((L_r x_r)^2) (loss_items.py:183-192)."""
+        w = self.weights if region_weights is None else region_weights
+        total = 0.0
+        r_iter = range(self.verts_idx.shape[0]) if regions is None else regions
+        for r in r_iter:
+            xi = x[self.verts_idx[r]]                       # (Vmax, C)
+            xn = x[self.neighbors[r]]                       # (Vmax, D, C)
+            deg = jnp.maximum(self.nbr_valid[r].sum(-1), 1.0)  # (Vmax,)
+            lx = (xn * self.nbr_valid[r][..., None]).sum(1) / deg[:, None] - xi
+            lx = lx * self.vert_valid[r][:, None]
+            n = jnp.maximum(self.vert_valid[r].sum() * x.shape[-1], 1.0)
+            total = total + w[r] * jnp.sum(lx * lx) / n
+        return total
+
+
+def build_region_laplacian(
+    edges: np.ndarray,
+    vertex_label: np.ndarray,
+    region_weights: np.ndarray,
+    num_regions: int = 15,
+    pad_to: int | None = None,
+) -> RegionLaplacian:
+    """Host-side construction after every topology change
+    (loss_items.py:123-169: per-region subgraph of same-label edges)."""
+    labels = np.asarray(vertex_label)
+    edges = np.asarray(edges)
+    edge_lbl = labels[edges]
+
+    region_data = []
+    vmax, dmax = 1, 1
+    for r in range(num_regions):
+        vs = np.where(labels == r)[0]
+        sel = edges[(edge_lbl[:, 0] == r) & (edge_lbl[:, 1] == r)]
+        adj: dict[int, list[int]] = {int(v): [] for v in vs}
+        for a, b in sel:
+            adj[int(a)].append(int(b))
+            adj[int(b)].append(int(a))
+        region_data.append((vs, adj))
+        vmax = max(vmax, len(vs))
+        dmax = max(dmax, max((len(v) for v in adj.values()), default=1))
+    if pad_to is not None:
+        vmax = max(vmax, pad_to)
+
+    nb = np.zeros((num_regions, vmax, dmax), np.int32)
+    nv = np.zeros((num_regions, vmax, dmax), np.float32)
+    vi = np.zeros((num_regions, vmax), np.int32)
+    vv = np.zeros((num_regions, vmax), np.float32)
+    for r, (vs, adj) in enumerate(region_data):
+        vi[r, : len(vs)] = vs
+        vv[r, : len(vs)] = 1.0
+        for i, v in enumerate(vs):
+            ns = adj[int(v)]
+            nb[r, i, : len(ns)] = ns
+            nv[r, i, : len(ns)] = 1.0
+    return RegionLaplacian(
+        neighbors=jnp.asarray(nb), nbr_valid=jnp.asarray(nv),
+        verts_idx=jnp.asarray(vi), vert_valid=jnp.asarray(vv),
+        weights=jnp.asarray(region_weights.astype(np.float32)),
+    )

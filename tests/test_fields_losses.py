@@ -1,0 +1,159 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sings_tpu.fields.decoders import (
+    DecoderConfig, appearance_decoder, geometry_decoder,
+    init_appearance_decoder, init_geometry_decoder,
+)
+from sings_tpu.fields.triplane import (
+    TriplaneConfig, init_triplane, triplane_features,
+)
+from sings_tpu.losses.lpips import get_lpips, lpips_distance
+from sings_tpu.losses.photometric import (
+    PhotometricWeights, masked_l1, photometric_loss, sample_patches,
+)
+from sings_tpu.losses.regularizers import (
+    L2NormConfig, build_region_laplacian, gaussians_edge_loss, l2_norm_loss,
+    mesh_edge_loss,
+)
+
+
+def test_triplane_shapes_and_grads():
+    cfg = TriplaneConfig(resolution=(16, 16, 16), out_dim=8, multires=(1, 2))
+    params = init_triplane(jax.random.PRNGKey(0), cfg)
+    pts = jnp.asarray(np.random.RandomState(0).uniform(-0.9, 0.9, (50, 3))
+                      .astype(np.float32))
+    feats = triplane_features(params, pts, cfg)
+    assert feats.shape == (50, 16)
+    g_params, g_pts = jax.grad(
+        lambda p, x: triplane_features(p, x, cfg).sum(), argnums=(0, 1)
+    )(params, pts)
+    assert float(jnp.abs(g_pts).sum()) > 0
+    assert float(jnp.abs(g_params["grids"][0][0]).sum()) > 0
+
+
+def test_triplane_is_smooth_interpolation():
+    cfg = TriplaneConfig(resolution=(8, 8, 8), out_dim=4, multires=(1,))
+    params = init_triplane(jax.random.PRNGKey(1), cfg)
+    p0 = jnp.array([[0.1, 0.2, -0.3]])
+    eps = jnp.array([[1e-4, 0, 0]])
+    f0 = triplane_features(params, p0, cfg)
+    f1 = triplane_features(params, p0 + eps, cfg)
+    assert float(jnp.abs(f1 - f0).max()) < 1e-2
+
+
+def test_decoders():
+    cfg = DecoderConfig(n_features=24, isotropic=True)
+    gp = init_geometry_decoder(jax.random.PRNGKey(0), cfg)
+    ap = init_appearance_decoder(jax.random.PRNGKey(1), cfg)
+    feats = jnp.asarray(np.random.RandomState(2).randn(30, 24)
+                        .astype(np.float32))
+    g = geometry_decoder(gp, feats, cfg)
+    assert g["xyz_offsets"].shape == (30, 3)
+    assert g["scales"].shape == (30, 3)
+    assert g["rotations"] is None
+    # isotropic: all three scale channels equal
+    np.testing.assert_allclose(np.asarray(g["scales"][:, 0]),
+                               np.asarray(g["scales"][:, 1]))
+    assert float(g["scales"].min()) > 0  # softplus
+
+    a = appearance_decoder(ap, feats, cfg)
+    assert a["shs"].shape == (30, 16, 3)
+    assert 0 < float(a["opacity"].min()) and float(a["opacity"].max()) < 1
+    # opacity offset raises the floor
+    a2 = appearance_decoder(ap, feats, cfg, opacity_offset=10.0)
+    assert float(a2["opacity"].min()) > 0.99
+
+    cfg_an = DecoderConfig(n_features=24, isotropic=False)
+    gan = init_geometry_decoder(jax.random.PRNGKey(3), cfg_an)
+    g2 = geometry_decoder(gan, feats, cfg_an)
+    assert g2["rotations"].shape == (30, 6)
+
+
+def test_l2_norm_ignores_dead_slots():
+    cfg = L2NormConfig()
+    n = 20
+    alive = jnp.concatenate([jnp.ones(10), jnp.zeros(10)])
+    xyz = jnp.asarray(np.random.RandomState(0).randn(n, 3).astype(np.float32))
+    scales = jnp.full((n, 3), 0.004)
+    opac = jnp.full((n, 1), 0.5)
+    base = l2_norm_loss(cfg, xyz, scales, opac, alive)
+    # corrupt dead slots wildly: loss must not change
+    xyz2 = xyz.at[10:].set(100.0)
+    scales2 = scales.at[10:].set(10.0)
+    poked = l2_norm_loss(cfg, xyz2, scales2, opac, alive)
+    np.testing.assert_allclose(float(base), float(poked), rtol=1e-6)
+
+
+def test_gaussians_edge_loss_zero_when_matched():
+    # points on a unit grid, scales == nearest-neighbor distance
+    xs = np.stack(np.meshgrid(np.arange(4.0), np.arange(4.0),
+                              np.zeros(1)), -1).reshape(-1, 3)
+    pts = jnp.asarray(xs.astype(np.float32))
+    alive = jnp.ones(len(xs))
+    dists_to_mean = gaussians_edge_loss(
+        pts, jnp.full((len(xs), 3), 1.2), alive, k=3)
+    better = gaussians_edge_loss(
+        pts, jnp.full((len(xs), 3), 1.0), alive, k=3)
+    assert float(better) < float(dists_to_mean)
+
+
+def test_mesh_edge_loss():
+    verts = jnp.asarray([[0.0, 0, 0], [1, 0, 0], [0, 2, 0]])
+    edges = jnp.asarray([[0, 1], [0, 2], [0, 0]])
+    valid = jnp.asarray([1.0, 1.0, 0.0])
+    np.testing.assert_allclose(
+        float(mesh_edge_loss(verts, edges, valid)), (1.0 + 4.0) / 2, rtol=1e-6
+    )
+
+
+def test_region_laplacian_flat_is_zero():
+    # a path graph inside one region: interior vertices of a straight
+    # line have zero laplacian
+    edges = np.array([[0, 1], [1, 2], [2, 3]])
+    labels = np.zeros(4, np.int64)
+    rl = build_region_laplacian(edges, labels, np.ones(1), num_regions=1)
+    x = jnp.asarray(np.linspace(0, 3, 4, dtype=np.float32)[:, None]
+                    * np.ones((1, 3), np.float32))
+    val = float(rl.loss(x))
+    # endpoints have L != 0 on a path; bend the line -> higher loss
+    x_bent = x.at[2, 1].add(1.0)
+    assert float(rl.loss(x_bent)) > val
+
+
+def test_patch_sampler_inside_mask():
+    rng = jax.random.PRNGKey(0)
+    mask = jnp.zeros((64, 64)).at[20:44, 20:44].set(1.0)
+    img = jnp.ones((3, 64, 64))
+    (mp,) = sample_patches(rng, mask, (mask[None],), num_patches=4,
+                           patch_size=8, ratio_mask=1.0)
+    # patch centers inside the mask: patch mean should be well above zero
+    assert float(mp.mean()) > 0.4
+
+
+def test_photometric_loss_runs_and_zero_at_perfect():
+    rng = jax.random.PRNGKey(0)
+    gt = jnp.asarray(np.random.RandomState(0).rand(3, 64, 64)
+                     .astype(np.float32))
+    mask = jnp.ones((64, 64))
+    bg = jnp.zeros(3)
+    w = PhotometricWeights(l1=0.8, ssim=0.2, lpips=0.0, patch_size=16)
+    total, d = photometric_loss(rng, gt, gt, mask, bg, w)
+    assert float(total) < 1e-5
+    pred = gt * 0.5
+    total2, _ = photometric_loss(rng, pred, gt, mask, bg, w)
+    assert float(total2) > 0.01
+
+
+def test_lpips_random_features():
+    params = get_lpips(None)
+    assert not params.pretrained
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 3, 32, 32)
+                    .astype(np.float32))
+    y = x + 0.3 * jnp.asarray(np.random.RandomState(1).rand(2, 3, 32, 32)
+                              .astype(np.float32))
+    d_same = lpips_distance(params, x, x)
+    d_diff = lpips_distance(params, x, y)
+    assert float(d_same.max()) < 1e-6
+    assert float(d_diff.min()) > 1e-5
