@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sings_tpu.fields.decoders import DecoderConfig
+from sings_tpu.fields.triplane import TriplaneConfig
+from sings_tpu.kinematics.body_model import synthetic_template
+from sings_tpu.kinematics.poses import predefined_pose
+from sings_tpu.kinematics.template import (
+    DeviceTemplate, canonical_pose_cache,
+)
+from sings_tpu.model.avatar import (
+    AvatarConfig, avatar_forward, avatar_forward_chunk, fit_initial_attrs,
+    get_gs_attrs, init_avatar, initial_attr_targets,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tpl = synthetic_template(num_betas=10, n_seg=4, n_ring=8)
+    dt = DeviceTemplate.from_host(tpl)
+    betas = jnp.zeros(10)
+    cache = canonical_pose_cache(dt, betas, "da_pose")
+    n = tpl.num_verts
+    cfg = AvatarConfig(
+        capacity=((n + 255) // 256) * 256,
+        face_capacity=len(tpl.faces) + 64,
+        edge_capacity=len(tpl.edges) + 64,
+        num_frames=4,
+        triplane=TriplaneConfig(resolution=(16, 16, 16), out_dim=8,
+                                multires=(1, 2)),
+        decoder=DecoderConfig(n_features=16),
+    )
+    smpl_params = {
+        "global_orient": np.zeros((4, 3), np.float32),
+        "body_pose": np.tile(predefined_pose("a_pose"), (4, 1)),
+        "transl": np.zeros((4, 3), np.float32),
+        "betas": np.zeros(10, np.float32),
+    }
+    state = init_avatar(jax.random.PRNGKey(0), cfg, tpl, cache, smpl_params)
+    return tpl, dt, cache, cfg, state
+
+
+def test_init_shapes(setup):
+    tpl, dt, cache, cfg, state = setup
+    assert state.params.xyz.shape == (cfg.capacity, 3)
+    assert int(state.buffers.alive.sum()) == tpl.num_verts
+    assert state.params.body_pose.shape == (4, 138)
+    np.testing.assert_allclose(
+        np.asarray(state.params.xyz[: tpl.num_verts]),
+        np.asarray(cache.canonical_verts), atol=1e-6,
+    )
+
+
+def test_forward_canonical_pose_matches_canon(setup):
+    tpl, dt, cache, cfg, state = setup
+    out = avatar_forward(
+        state.params, state.buffers, cfg, dt, cache,
+        global_orient=jnp.zeros(3),
+        body_pose=jnp.asarray(predefined_pose("da_pose")),
+        betas=jnp.zeros(10), transl=jnp.zeros(3),
+    )
+    # posing with the canonical pose itself: xyz == xyz_canon
+    np.testing.assert_allclose(
+        np.asarray(out["xyz"]), np.asarray(out["xyz_canon"]), atol=1e-4
+    )
+    assert out["shs"].shape == (cfg.capacity, 16, 3)
+    assert out["rotq"].shape == (cfg.capacity, 4)
+    assert "xyz_anchor_canon" in out
+
+
+def test_forward_uses_learned_params(setup):
+    tpl, dt, cache, cfg, state = setup
+    out = avatar_forward(state.params, state.buffers, cfg, dt, cache,
+                         dataset_idx=1, smpl_scale=jnp.ones(1))
+    assert np.isfinite(np.asarray(out["xyz"])).all()
+
+
+def test_forward_chunk_matches_single(setup):
+    tpl, dt, cache, cfg, state = setup
+    gs_attrs = get_gs_attrs(state.params, state.buffers, cfg)
+    b = 3
+    go = jnp.asarray(np.random.RandomState(0).randn(b, 3).astype(np.float32)
+                     * 0.3)
+    bp = jnp.tile(jnp.asarray(predefined_pose("a_pose"))[None], (b, 1))
+    transl = jnp.asarray(np.random.RandomState(1).randn(b, 3)
+                         .astype(np.float32))
+    chunk = avatar_forward_chunk(
+        state.params, state.buffers, cfg, dt, cache, gs_attrs,
+        global_orient=go, body_pose=bp, betas=jnp.zeros(10), transl=transl,
+        smpl_scale=jnp.ones((b, 1)),
+    )
+    for i in range(b):
+        single = avatar_forward(
+            state.params, state.buffers, cfg, dt, cache,
+            global_orient=go[i], body_pose=bp[i], betas=jnp.zeros(10),
+            transl=transl[i], smpl_scale=jnp.ones(1), eval_mode=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunk["xyz"][i]), np.asarray(single["xyz"]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunk["rotq"][i]), np.asarray(single["rotq"]),
+            atol=1e-4,
+        )
+
+
+def test_ext_tfs(setup):
+    tpl, dt, cache, cfg, state = setup
+    from sings_tpu.ops.rotations import axis_angle_to_matrix
+    rot = axis_angle_to_matrix(jnp.array([0.0, 0.5, 0.0]))
+    args = dict(
+        global_orient=jnp.zeros(3),
+        body_pose=jnp.asarray(predefined_pose("t_pose")),
+        betas=jnp.zeros(10), transl=jnp.zeros(3), eval_mode=True,
+    )
+    base = avatar_forward(state.params, state.buffers, cfg, dt, cache, **args)
+    moved = avatar_forward(
+        state.params, state.buffers, cfg, dt, cache,
+        ext_tfs=(jnp.array([1.0, 0, 0]), rot, jnp.array([2.0])), **args,
+    )
+    expect = jnp.array([1.0, 0, 0])[None] + 2.0 * base["xyz"] @ rot.T
+    np.testing.assert_allclose(np.asarray(moved["xyz"]), np.asarray(expect),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(moved["scales"]),
+                               np.asarray(2.0 * base["scales"]), atol=1e-6)
+
+
+def test_fit_initial_attrs_reduces_loss(setup):
+    tpl, dt, cache, cfg, state = setup
+    targets = initial_attr_targets(cfg, tpl, cache)
+    params2, losses = fit_initial_attrs(
+        state.params, state.buffers, cfg, targets, steps=60, lr=3e-3)
+    assert float(losses[-1]) < float(losses[0]) * 0.8
+    out = get_gs_attrs(params2, state.buffers, cfg)
+    # opacity should move toward init_opacity=0.8 for live gaussians
+    live_op = np.asarray(out["opacity"])[: tpl.num_verts]
+    assert abs(live_op.mean() - 0.8) < 0.25
