@@ -1,0 +1,188 @@
+"""Default configuration tree (reference sings/rec/defaults/config.py).
+
+Values follow the reference defaults; recipe YAMLs override per case
+(see configs/ at the repo root for the ported human_complex recipe).
+TPU-specific additions live under `tpu.*`: capacity planning, raster
+kernel knobs, and mesh-axis names for distribution.
+"""
+
+DEFAULTS = {
+    "seed": 0,
+    "mode": "human",
+    "output_path": "output",
+    "exp_name": "test",
+    "eval": False,
+    "bg_color": "white",
+    "anim_cfg_path": None,
+    "logdir": "",
+    "logdir_ckpt": "",
+
+    "dataset": {
+        "root_dir": "/root/reference/examples/training_kits",
+        "batch": "",
+        "name": "f_2",
+        "seq": "",
+        "downscale": 1,
+        "max_frames": None,
+    },
+
+    "train": {
+        "batch_size": 1,
+        "num_steps": 30000,
+        "init_steps": 500,
+        "save_ckpt_interval": 4000,
+        "val_interval": 2000,
+        "viz_interval": 2000,
+        "anim_interval": 2000,
+        "save_progress_images": False,
+        "progress_save_interval": 100,
+    },
+
+    "human": {
+        "name": "sings_hybrid",
+        "ckpt": None,
+        "sh_degree": 3,
+        "n_subdivision": 0,
+        "disable_posedirs": False,
+        "optim_pose": False,
+        "optim_betas": False,
+        "optim_trans": False,
+        "canon_nframes": 60,
+        "canon_pose_type": "da_pose",
+        "body_template": "smpl",
+        "feature_dim": 32,
+        "kplanes": {
+            "grid_dimensions": 2,
+            "input_coordinate_dim": 3,
+            "output_coordinate_dim": 32,
+            "resolution": [64, 64, 64],
+            "multires": [1, 2, 4],
+        },
+        "opt_geo_from": 1000,
+        "opt_geo_until": 14000,
+        "opt_app_from": 1000,
+        "opt_app_until": 15000,
+
+        "lr": {
+            "position_init": 0.00016,
+            "position_final": 0.0000016,
+            "position_delay_mult": 0.01,
+            "position_max_steps": 30000,
+            "smpl_spatial": 2.0,
+            "smpl_pose": 0.0001,
+            "smpl_betas": 0.0001,
+            "smpl_trans": 0.0001,
+            "appearance": 1e-3,
+            "geometry": 1e-3,
+            "vembed": 1e-3,
+            "mlp_max_steps": 16000,
+        },
+
+        "loss": {
+            "ssim_w": 0.2,
+            "l1_w": 0.8,
+            "lpips_w": 1.0,
+            "num_patches": 4,
+            "patch_size": 128,
+            "use_patches": 1,
+            "mesh_edge": 1e4,
+            "gaussian_connect": 5e3,
+            "l2_norm": {
+                "lambda_xyz_offsets": 0.005,
+                "lambda_scales_diff": 0.005,
+                "lambda_max_scale": 0.001,
+                "max_scale_threshold": 0.008,
+                "lambda_min_opacity": 0.0001,
+                "min_opacity_threshold": 0.2,
+            },
+            "laplacian": {
+                "type": "standard",
+                "regional": True,
+                "color_strength": 5.0,
+                "color_regions_w": None,     # region-name -> weight dict
+                "position_strength": 1000.0,
+                "position_regions_w": None,
+                "impose_from_iter": 1000,
+            },
+        },
+
+        "density_control": {
+            "strategy": "hybrid",
+            "max_n_gaussians": 200000,
+            "min_n_gaussians": 100000,
+            "hybrid": {
+                "densify_interval": 2000,
+                "densify_from_iter": 1999,
+                "densify_until_iter": 12000,
+                "densify_grad_threshold": 0.001,
+                "densify_scale_threshold": 0.01,
+                "densify_render_size_threshold": 20,
+                "prune_interval": 2000,
+                "prune_from_iter": 1999,
+                "prune_until_iter": 12000,
+                "prune_opacity_threshold": 0.005,
+                "prune_scale_threshold": 0.0005,
+                "prune_collapse_rate": 0.5,
+                "prune_max_n_gs_once": 5000,
+            },
+        },
+
+        "attribute_control": {
+            "isotropic": True,
+            "thickness_factor": 1.0,
+            "fixed_opacity": False,
+            "init_opacity": 0.8,
+            "init_scale_multiplier": 0.8,
+        },
+    },
+
+    # TPU-native knobs (no reference equivalent)
+    "tpu": {
+        "raster": {
+            "tile": 16,
+            "chunk": 128,
+            "max_span": 3,
+            "max_pairs": None,
+        },
+        "capacity_margin": 1.25,   # slot headroom over current gaussians
+        "lpips_weights": None,     # optional npz of pretrained VGG-LPIPS
+        "smpl_model_dir": "/root/reference/data/human_models",
+        "parsing_dir":
+            "/root/reference/data/human_models/smpl_parsing",
+    },
+}
+
+# region weights used when the YAML leaves them unset
+DEFAULT_POSITION_REGIONS_W = {
+    "head-neck": 0.5, "spine": 0.75, "leftUpArm": 1.0, "rightUpArm": 1.0,
+    "leftDownArm": 1.0, "rightDownArm": 1.0, "leftHand": 1.5,
+    "rightHand": 1.5, "hips": 1.0, "leftUpLeg": 1.0, "rightUpLeg": 1.0,
+    "leftDownLeg": 1.0, "rightDownLeg": 1.0, "leftFoot": 0.75,
+    "rightFoot": 0.75,
+}
+DEFAULT_COLOR_REGIONS_W = {
+    "head-neck": 0.0, "spine": 0.0, "leftUpArm": 0.0, "rightUpArm": 0.0,
+    "leftDownArm": 1.0, "rightDownArm": 1.0, "leftHand": 1.0,
+    "rightHand": 1.0, "hips": 0.0, "leftUpLeg": 0.0, "rightUpLeg": 0.0,
+    "leftDownLeg": 0.0, "rightDownLeg": 0.0, "leftFoot": 0.0,
+    "rightFoot": 0.0,
+}
+
+REGION_LABEL_MAP = {
+    "head-neck": 0, "spine": 1, "leftUpArm": 2, "rightUpArm": 3,
+    "leftDownArm": 4, "rightDownArm": 5, "leftHand": 6, "rightHand": 7,
+    "hips": 8, "leftUpLeg": 9, "rightUpLeg": 10, "leftDownLeg": 11,
+    "rightDownLeg": 12, "leftFoot": 13, "rightFoot": 14,
+}
+
+
+def parse_region_weights(weight_dict: dict | None, default: dict):
+    """Region-name dict -> label-indexed array
+    (reference smpl_parsing.parse_weights:35-41)."""
+    import numpy as np
+
+    d = weight_dict if weight_dict else default
+    w = np.ones(len(REGION_LABEL_MAP), np.float32)
+    for region, label in REGION_LABEL_MAP.items():
+        w[label] = d[region]
+    return w

@@ -1,0 +1,68 @@
+"""Animation dataset (reference sings/rec/datasets/AnimDataset_opt.py).
+
+Loads AMASS or custom motions, rebases to the first frame, and serves
+fixed-size chunks for the batched animation forward.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..kinematics.amass import euler_to_matrix, load_motion, manual_alignment
+from ..ops.graphics import Camera
+from .cameras import get_anim_camera
+
+
+class AnimDataset(NamedTuple):
+    smpl: dict               # global_orient/body_pose/transl (F, ...)
+    camera: Camera
+    ext_trans: np.ndarray    # (3,)
+    ext_rotmat: np.ndarray   # (3, 3)
+    ext_scale: np.ndarray    # (1,)
+    motion_name: str
+
+    @property
+    def num_frames(self):
+        return self.smpl["body_pose"].shape[0]
+
+    def get_chunk(self, start: int, end: int):
+        """Pad-to-size chunk (static shapes): repeats the last frame."""
+        end = min(end, self.num_frames)
+        idx = np.arange(start, start + (end - start))
+        b = len(idx)
+        return {
+            "global_orient": self.smpl["global_orient"][idx],
+            "body_pose": self.smpl["body_pose"][idx],
+            "transl": self.smpl["transl"][idx],
+            "smpl_scale": np.ones((b, 1), np.float32),
+            "ext_tfs": (
+                np.tile(self.ext_trans[None], (b, 1)),
+                np.tile(self.ext_rotmat[None], (b, 1, 1)),
+                np.tile(self.ext_scale[None], (b, 1)),
+            ),
+        }
+
+
+def load_anim_dataset(
+    motion_src: str,
+    motion_type: str = "custom",
+    motion_start: int = 0,
+    motion_end: int = -1,
+    motion_skip: int = 1,
+    render_size=(512, 512),
+) -> AnimDataset:
+    smpl = load_motion(motion_src, motion_type, motion_start, motion_end,
+                       motion_skip, rebase=True)
+    trans, rot, scale = manual_alignment(motion_type)
+    rotmat = euler_to_matrix(*rot)
+    import os
+
+    return AnimDataset(
+        smpl=smpl,
+        camera=get_anim_camera(render_size),
+        ext_trans=trans,
+        ext_rotmat=rotmat,
+        ext_scale=np.array([scale], np.float32),
+        motion_name=os.path.basename(motion_src).split(".")[0],
+    )

@@ -260,18 +260,23 @@ def synthetic_template(
     parents = SMPL_PARENTS.copy()
     weights = lbs_weights
     if hands:
-        # extend to the 52-joint SMPLH skeleton: hand joints get zero
-        # weights (fingers are not modeled by the tubes)
+        # 52-joint SMPLH skeleton: SMPL's hand joints 22/23 are replaced
+        # by 15+15 finger chains rooted at the wrists (20/21). The tube
+        # hand weights fold into the wrists; finger joints get zero
+        # weights (fingers are not modeled by the tubes).
         parents = SMPLH_PARENTS.copy()
+        w22 = lbs_weights.copy()
+        w22[:, 20] += w22[:, 22]
+        w22[:, 21] += w22[:, 23]
+        w22 = w22[:, :22]
         weights = np.concatenate(
-            [lbs_weights, np.zeros((nv, 30), np.float32)], axis=1)
+            [w22, np.zeros((nv, 30), np.float32)], axis=1)
         jr = np.zeros((52, nv), dtype=np.float32)
-        jr[:24] = j_regressor
-        # finger joints regress to the hand tip vertices
-        for j in range(24, 52):
-            wrist = 20 if j < 37 + 2 else 21
-            d = np.linalg.norm(v_template - joints[22 if wrist == 20 else 23][None],
-                               axis=1)
+        jr[:22] = j_regressor[:22]
+        # finger joints regress to the hand-tip vertex neighborhoods
+        for j in range(22, 52):
+            hand_tip = 22 if j < 37 else 23
+            d = np.linalg.norm(v_template - joints[hand_tip][None], axis=1)
             k = np.exp(-(d / 0.05) ** 2)
             jr[j] = k / max(k.sum(), 1e-6)
         j_regressor = jr

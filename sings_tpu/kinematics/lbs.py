@@ -42,14 +42,19 @@ def batch_rigid_transform(
 ) -> tuple[jax.Array, jax.Array]:
     """Kinematic-chain forward: per-joint world transforms.
 
-    rot_mats: (B, J, 3, 3), joints: (B, J, 3), parents: (J,) int with
-    parents[0] == -1 (root).
+    rot_mats: (B, J, 3, 3), joints: (B, J, 3), parents: (J,) NUMPY int
+    array with parents[0] == -1 (static topology; the chain is unrolled
+    at trace time).
     Returns (posed_joints (B, J, 3), rel_transforms A (B, J, 4, 4)) where
     A maps rest-pose-relative points, matching smplx.lbs semantics.
     """
+    import numpy as np
+
+    parents = np.asarray(parents)
     b, j, _ = joints.shape
     rel_joints = joints - jnp.where(
-        (parents >= 0)[None, :, None], joints[:, jnp.clip(parents, 0)], 0.0
+        jnp.asarray(parents >= 0)[None, :, None],
+        joints[:, np.clip(parents, 0, None)], 0.0
     )
 
     # local 4x4

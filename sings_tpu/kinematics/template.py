@@ -85,9 +85,11 @@ def smpl_forward(
         global_orient = jnp.broadcast_to(global_orient[None], (b, 3))
 
     pose = full_pose(tpl, global_orient, body_pose)
+    # parents stay a numpy array: the kinematic chain is unrolled at
+    # trace time (static topology)
     return lbs(
         betas, pose, tpl.v_template, tpl.shapedirs, tpl.posedirs,
-        tpl.j_regressor, jnp.asarray(tpl.parents), tpl.lbs_weights,
+        tpl.j_regressor, tpl.parents, tpl.lbs_weights,
         pose2rot=True, disable_posedirs=disable_posedirs,
     )
 

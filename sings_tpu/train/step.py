@@ -1,0 +1,213 @@
+"""The jitted training step: forward -> render -> losses -> update.
+
+One XLA program covers the entire training schedule — every
+schedule-dependent behavior of the reference trainer
+(gs_trainer.py:201-413) is expressed with traced scalars instead of
+python branches, so the step compiles exactly once:
+
+  * decoder warmup (opt_geo/opt_app windows): gradients are gated with
+    where(flag, x, stop_gradient(x)) — value-identical, gradient-masked;
+  * SH degree annealing: degree-3 evaluation with a coefficient mask
+    that zeroes bands above the active degree;
+  * laplacian ramp / doubling, and the post-densify opacity norm term:
+    traced multipliers.
+
+Density-control statistics (screen-space gradient norms, max radii) are
+harvested from the same backward pass via the screen_probe passthrough
+(api.rasterize) exactly like the CUDA path's retain_grad trick.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.lpips import LPIPSParams, lpips_distance
+from ..losses.photometric import PhotometricWeights, photometric_loss
+from ..losses.regularizers import (
+    L2NormConfig, RegionLaplacian, gaussians_edge_loss, l2_norm_loss,
+    mesh_edge_loss,
+)
+from ..model.avatar import (
+    AvatarBuffers, AvatarConfig, AvatarParams, avatar_forward,
+)
+from ..ops.graphics import Camera
+from ..ops.rasterizer.api import rasterize
+
+
+class LossWeights(NamedTuple):
+    photometric: PhotometricWeights = PhotometricWeights()
+    l2: L2NormConfig = L2NormConfig()
+    mesh_edge: float = 1e4
+    gaussian_connect: float = 5e3
+    lap_position_strength: float = 1000.0
+    lap_color_strength: float = 5.0
+    lap_impose_from: int = 1000
+    lap_double_after: int = 8000
+    hand_lap_weight: float = 1e-5
+    hand_strength: float = 1000.0
+
+
+class StepConfig(NamedTuple):
+    weights: LossWeights
+    opt_geo_from: int
+    opt_app_from: int
+    opacity_norm_from: int        # max(prune_until, densify_until)
+    knn_k: int = 9
+
+
+def sh_degree_mask(active_degree: jax.Array) -> jax.Array:
+    """(16,) mask zeroing SH bands above the active degree."""
+    band = jnp.asarray([0] + [1] * 3 + [2] * 5 + [3] * 7)
+    return (band <= active_degree).astype(jnp.float32)
+
+
+def _gate_grad(x, flag):
+    """Value-identical; gradient flows only where flag is true."""
+    return jnp.where(flag, x, jax.lax.stop_gradient(x))
+
+
+def make_train_step(
+    avatar_cfg: AvatarConfig,
+    step_cfg: StepConfig,
+    template,
+    camera: Camera,
+    tx: optax.GradientTransformation,
+    lpips_params: LPIPSParams | None,
+    raster_kw: dict,
+):
+    """Build the jitted train step closure.
+
+    The RegionLaplacian pytree is passed per call (its *contents* change
+    after topology updates but its shapes stay fixed — no recompile).
+    """
+    w = step_cfg.weights
+
+    def lpips_fn(a, b):
+        return lpips_distance(lpips_params, a, b)
+
+    lpips = lpips_fn if lpips_params is not None else None
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(
+        params: AvatarParams,
+        buffers: AvatarBuffers,
+        opt_state,
+        cache,               # CanonicalCache (betas usually frozen)
+        batch: dict,         # rgb (3,H,W), mask (H,W), idx ()
+        rng: jax.Array,
+        step: jax.Array,
+        active_sh_degree: jax.Array,
+        region_lap_pos: RegionLaplacian,
+        region_lap_color: RegionLaplacian,
+        lap_pos_w: jax.Array,     # (R,) region weights
+        lap_color_w: jax.Array,
+    ):
+        k_bg, k_photo = jax.random.split(rng)
+        bg = jax.random.uniform(k_bg, (3,))
+        opt_geo = step >= step_cfg.opt_geo_from
+        opt_app = step >= step_cfg.opt_app_from
+        deg_mask = sh_degree_mask(active_sh_degree)
+
+        def loss_fn(params, probe):
+            out = avatar_forward(
+                params, buffers, avatar_cfg, template, cache,
+                smpl_scale=batch.get("smpl_scale"),
+                dataset_idx=batch["idx"],
+            )
+            # decoder warmup gates (value-identical outside the window)
+            for k in ("xyz_canon", "xyz_offsets", "scales", "scales_canon"):
+                out[k] = _gate_grad(out[k], opt_geo)
+            for k in ("shs", "opacity"):
+                out[k] = _gate_grad(out[k], opt_app)
+
+            shs = out["shs"] * deg_mask[None, :, None]
+            pkg = rasterize(
+                out["xyz"], out["scales"], out["rotq"],
+                out["opacity"][:, 0], shs, camera,
+                sh_degree=3, bg=bg, alive=buffers.alive > 0.5,
+                screen_probe=probe, backend="pallas", **raster_kw,
+            )
+            render = jnp.clip(pkg["render"], 0.0, 1.0)
+
+            photo, photo_d = photometric_loss(
+                k_photo, render, batch["rgb"], batch["mask"], bg,
+                w.photometric, lpips,
+            )
+
+            alive = buffers.alive
+            # reference: the opacity norm term joins only after density
+            # control ends (gs_trainer.py:356-360)
+            use_op_norm = step >= step_cfg.opacity_norm_from
+            reg_with_op = l2_norm_loss(w.l2, out["xyz_offsets"],
+                                       out["scales"], out["opacity"], alive)
+            reg_no_op = l2_norm_loss(w.l2, out["xyz_offsets"], out["scales"],
+                                     None, alive)
+            reg = jnp.where(use_op_norm, reg_with_op, reg_no_op)
+
+            edge = w.mesh_edge * mesh_edge_loss(
+                jax.lax.stop_gradient(out["xyz_canon"]), buffers.edges,
+                buffers.edge_valid)
+            connect = w.gaussian_connect * gaussians_edge_loss(
+                jax.lax.stop_gradient(out["xyz_canon"]),
+                out["scales"], alive, k=step_cfg.knn_k)
+
+            lap_pos = region_lap_pos.loss(out["xyz_anchor_canon"], lap_pos_w)
+            lap_color = region_lap_color.loss(out["shs"][:, 0], lap_color_w)
+            ramp = jnp.clip(
+                (step - w.lap_impose_from) / max(w.lap_impose_from, 1), 0, 1)
+            alpha = w.lap_position_strength * ramp * jnp.where(
+                step > w.lap_double_after, 2.0, 1.0)
+            lap_pos_loss = alpha * lap_pos
+            lap_color_loss = w.lap_color_strength * lap_color
+            hand_lap = w.hand_lap_weight * w.hand_strength * (
+                region_lap_pos.loss(
+                    out["xyz_canon"],
+                    jnp.ones_like(lap_pos_w), regions=[6, 7])
+            )
+
+            total = (photo + reg + edge + connect + lap_pos_loss
+                     + lap_color_loss + hand_lap)
+            aux = {
+                "loss": total,
+                "photo": photo,
+                "reg_l2": reg,
+                "mesh_edge": edge,
+                "connect": connect,
+                "lap_pos": lap_pos_loss,
+                "lap_color": lap_color_loss,
+                "radii": pkg["radii"],
+                "visible": pkg["visibility_filter"],
+                "render": render,
+                **{f"photo_{k}": v for k, v in photo_d.items()},
+            }
+            return total, aux
+
+        probe0 = jnp.zeros((avatar_cfg.capacity, 2))
+        (loss, aux), (grads, probe_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, probe0)
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        # density-control statistics (gs_trainer.py:486-492,
+        # sings_hybrid.py:1013-1015)
+        visible = aux.pop("visible")
+        radii = aux.pop("radii").astype(jnp.float32)
+        buffers = buffers._replace(
+            max_radii2d=jnp.where(
+                visible, jnp.maximum(buffers.max_radii2d, radii),
+                buffers.max_radii2d),
+            xyz_grad_accum=buffers.xyz_grad_accum + jnp.where(
+                visible, jnp.linalg.norm(probe_grad, axis=-1), 0.0),
+            grad_denom=buffers.grad_denom + visible.astype(jnp.float32),
+        )
+        render = aux.pop("render")
+        metrics = {k: v for k, v in aux.items()}
+        return params, buffers, opt_state, metrics, render
+
+    return train_step

@@ -1,0 +1,626 @@
+"""Training orchestrator (reference sings/rec/trainer/gs_trainer.py).
+
+Owns the host-side loop: data selection, the single jitted train step,
+periodic checkpoint/validation/animation/visualization, SH-degree
+annealing, and density control (host-side topology surgery between
+jitted steps). All schedule behavior matches the reference's
+_adjust_density / _periodic_check quirks (SURVEY.md section 7),
+including the densify_interval += 1 drift after a prune.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.defaults import (
+    DEFAULT_COLOR_REGIONS_W, DEFAULT_POSITION_REGIONS_W, parse_region_weights,
+)
+from ..fields.decoders import DecoderConfig
+from ..fields.triplane import TriplaneConfig
+from ..kinematics.body_model import load_template
+from ..kinematics.poses import predefined_pose
+from ..kinematics.template import (
+    DeviceTemplate, canonical_pose_cache,
+)
+from ..losses.lpips import get_lpips, lpips_distance
+from ..losses.photometric import PhotometricWeights
+from ..losses.regularizers import L2NormConfig, build_region_laplacian
+from ..model.avatar import (
+    AvatarConfig, avatar_forward, avatar_forward_chunk, fit_initial_attrs,
+    get_gs_attrs, init_avatar, initial_attr_targets,
+)
+from ..model.density import densify_and_subdivide, prune_and_simplify
+from ..ops.rasterizer.api import rasterize
+from ..ops.ssim import psnr, ssim
+from ..data.anim import load_anim_dataset
+from ..data.cameras import get_rotating_cameras, get_smpl_static_params
+from ..data.kit import TrainingKit, load_kit
+from ..export.ply import save_ply, save_splat
+from ..fields.decoders import appearance_opacity_logit
+from ..fields.triplane import triplane_features
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .optim import LRConfig, TrainFlags, make_optimizer, zero_moments_for_slots
+from .step import LossWeights, StepConfig, make_train_step
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def default_raster_kw(cfg, height, width):
+    kw = dict(
+        tile=cfg.tpu.raster.tile,
+        chunk=cfg.tpu.raster.chunk,
+        max_span=cfg.tpu.raster.max_span,
+        max_pairs=cfg.tpu.raster.max_pairs,
+    )
+    if jax.default_backend() != "tpu":
+        kw.update(chunk=8, interpret=True)
+    return kw
+
+
+class Trainer:
+    def __init__(self, cfg, mode: str = "train"):
+        self.cfg = cfg
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        random.seed(cfg.seed)
+        np.random.seed(cfg.seed)
+
+        self.logdir = cfg.logdir or os.path.join(
+            cfg.output_path, cfg.exp_name, cfg.dataset.name)
+        self.logdir_ckpt = cfg.logdir_ckpt or os.path.join(
+            self.logdir, "ckpt")
+        for sub in ("", "ckpt", "val", "train", "anim", "meshes", "canon"):
+            os.makedirs(os.path.join(self.logdir, sub), exist_ok=True)
+
+        self.bg_color = (jnp.ones(3) if cfg.bg_color == "white"
+                         else jnp.zeros(3))
+
+        # ---------------- data
+        kit_dir = os.path.join(cfg.dataset.root_dir, cfg.dataset.batch or "",
+                               cfg.dataset.name, cfg.dataset.seq or "")
+        self.kit: TrainingKit = load_kit(
+            os.path.normpath(kit_dir),
+            downscale=int(cfg.dataset.get("downscale", 1) or 1),
+            max_frames=cfg.dataset.get("max_frames"),
+        )
+        self.camera = self.kit.camera
+        self.images = jnp.asarray(self.kit.images)
+        self.masks = jnp.asarray(self.kit.masks)
+
+        self.anim_dataset = None
+        if cfg.anim_cfg_path and os.path.exists(cfg.anim_cfg_path):
+            import yaml
+
+            with open(cfg.anim_cfg_path) as fh:
+                ac = yaml.safe_load(fh)
+            self.anim_dataset = load_anim_dataset(
+                ac["motion_src"], ac.get("motion_type", "custom"),
+                ac.get("motion_start", 0), ac.get("motion_end", -1),
+                ac.get("motion_skip", 1),
+                tuple(ac.get("render_size", (512, 512))),
+            )
+
+        # ---------------- body template
+        hcfg = cfg.human
+        model_dir = os.path.join(cfg.tpu.smpl_model_dir, hcfg.body_template)
+        self.tpl = load_template(
+            model_dir, hcfg.body_template,
+            num_betas=len(self.kit.smpl["betas"]),
+            n_subdivision=hcfg.n_subdivision,
+        )
+        self.template = DeviceTemplate.from_host(self.tpl)
+
+        # ---------------- avatar config + state
+        n = self.tpl.num_verts
+        max_n = int(hcfg.density_control.max_n_gaussians)
+        capacity = _round_up(min(max_n, int(n * 2.0)), 256)
+        tri = TriplaneConfig(
+            resolution=tuple(hcfg.kplanes.resolution),
+            out_dim=hcfg.kplanes.output_coordinate_dim,
+            multires=tuple(hcfg.kplanes.multires),
+        )
+        dec = DecoderConfig(
+            n_features=tri.feat_dim,
+            isotropic=hcfg.attribute_control.isotropic,
+            fixed_opacity=hcfg.attribute_control.fixed_opacity,
+        )
+        self.avatar_cfg = AvatarConfig(
+            capacity=capacity,
+            face_capacity=_round_up(capacity * 3, 256),
+            edge_capacity=_round_up(capacity * 4, 256),
+            num_frames=len(self.kit.images),
+            num_betas=len(self.kit.smpl["betas"]),
+            sh_degree=hcfg.sh_degree,
+            isotropic=hcfg.attribute_control.isotropic,
+            fixed_opacity=hcfg.attribute_control.fixed_opacity,
+            init_opacity=hcfg.attribute_control.init_opacity,
+            init_scale_multiplier=hcfg.attribute_control.init_scale_multiplier,
+            thickness_factor=hcfg.attribute_control.thickness_factor,
+            disable_posedirs=hcfg.disable_posedirs,
+            canonical_pose=hcfg.canon_pose_type,
+            body_template=hcfg.body_template,
+            triplane=tri,
+            decoder=dec,
+        )
+
+        betas = jnp.asarray(self.kit.smpl["betas"])
+        self.cache = canonical_pose_cache(self.template, betas,
+                                          hcfg.canon_pose_type)
+        key, self.rng = jax.random.split(self.rng)
+        state = init_avatar(key, self.avatar_cfg, self.tpl, self.cache,
+                            self.kit.smpl)
+        self.params = state.params
+        self.buffers = state.buffers
+        self.active_sh_degree = 0
+        self.step = 0
+
+        # ---------------- optimizer + step
+        lr = LRConfig(
+            position_init=hcfg.lr.position_init,
+            position_final=hcfg.lr.position_final,
+            position_delay_mult=hcfg.lr.position_delay_mult,
+            position_max_steps=hcfg.lr.position_max_steps,
+            smpl_spatial=hcfg.lr.smpl_spatial,
+            vembed=hcfg.lr.vembed,
+            geometry=hcfg.lr.geometry,
+            appearance=hcfg.lr.appearance,
+            smpl_pose=hcfg.lr.smpl_pose,
+            smpl_betas=hcfg.lr.smpl_betas,
+            smpl_trans=hcfg.lr.smpl_trans,
+            mlp_max_steps=hcfg.lr.mlp_max_steps,
+        )
+        flags = TrainFlags(optim_pose=hcfg.optim_pose,
+                           optim_betas=hcfg.optim_betas,
+                           optim_trans=hcfg.optim_trans)
+        self.tx = make_optimizer(lr, flags)
+        self.opt_state = self.tx.init(self.params)
+
+        loss_cfg = hcfg.loss
+        weights = LossWeights(
+            photometric=PhotometricWeights(
+                l1=loss_cfg.l1_w, ssim=loss_cfg.ssim_w,
+                lpips=loss_cfg.lpips_w,
+                num_patches=loss_cfg.num_patches,
+                patch_size=min(loss_cfg.patch_size,
+                               min(self.camera.height, self.camera.width)
+                               // 2 * 2),
+            ),
+            l2=L2NormConfig(**{k: float(v) for k, v in loss_cfg.l2_norm.items()}),
+            mesh_edge=float(loss_cfg.mesh_edge),
+            gaussian_connect=float(loss_cfg.gaussian_connect),
+            lap_position_strength=float(loss_cfg.laplacian.position_strength),
+            lap_color_strength=float(loss_cfg.laplacian.color_strength),
+            lap_impose_from=int(loss_cfg.laplacian.impose_from_iter),
+        )
+        dc = hcfg.density_control.hybrid
+        step_cfg = StepConfig(
+            weights=weights,
+            opt_geo_from=hcfg.opt_geo_from,
+            opt_app_from=hcfg.opt_app_from,
+            opacity_norm_from=max(dc.prune_until_iter, dc.densify_until_iter),
+        )
+        self.lpips_params = get_lpips(cfg.tpu.lpips_weights, seed=cfg.seed)
+        self.raster_kw = default_raster_kw(cfg, self.camera.height,
+                                           self.camera.width)
+        self.train_step = make_train_step(
+            self.avatar_cfg, step_cfg, self.template, self.camera, self.tx,
+            self.lpips_params if loss_cfg.lpips_w > 0 else None,
+            self.raster_kw,
+        )
+
+        # region laplacians
+        self.lap_pos_w = jnp.asarray(parse_region_weights(
+            loss_cfg.laplacian.position_regions_w,
+            DEFAULT_POSITION_REGIONS_W))
+        self.lap_color_w = jnp.asarray(parse_region_weights(
+            loss_cfg.laplacian.color_regions_w, DEFAULT_COLOR_REGIONS_W))
+        self._lap_pad = None
+        self._rebuild_laplacians()
+
+        self.density_cfg = dict(dc)
+        self.eval_metrics = {}
+
+        # auto-resume
+        ckpt = hcfg.ckpt or latest_checkpoint(self.logdir_ckpt)
+        if ckpt and os.path.exists(str(ckpt)):
+            self.load_ckpt(str(ckpt))
+        elif mode == "train" and not cfg.eval:
+            self._init_attrs()
+
+    # ------------------------------------------------------------------
+    def _init_attrs(self):
+        targets = initial_attr_targets(self.avatar_cfg, self.tpl, self.cache)
+        self.params, losses = fit_initial_attrs(
+            self.params, self.buffers, self.avatar_cfg, targets,
+            steps=self.cfg.train.init_steps)
+        print(f"[init_attrs] loss {float(losses[0]):.5f} -> "
+              f"{float(losses[-1]):.5f}")
+        self.opt_state = self.tx.init(self.params)
+
+    def _rebuild_laplacians(self):
+        b = self.buffers
+        edges = np.asarray(b.edges)[np.asarray(b.edge_valid) > 0.5]
+        labels = np.asarray(b.vertex_label)
+        if self._lap_pad is None:
+            # fixed region partition size: the largest region can grow via
+            # densification; reserve capacity-sized padding once
+            self._lap_pad = int(self.avatar_cfg.capacity)
+        self.region_lap = build_region_laplacian(
+            edges, labels, np.asarray(self.lap_pos_w), num_regions=15,
+            pad_to=self._lap_pad)
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        num_steps = cfg.train.num_steps
+        order = list(range(len(self.kit.train_split)))
+        random.shuffle(order)
+        cursor = 0
+        t0 = time.time()
+        log_every = 50
+
+        while self.step < num_steps:
+            t_iter = self.step
+            if cursor >= len(order):
+                random.shuffle(order)
+                cursor = 0
+            frame = self.kit.train_split[order[cursor]]
+            cursor += 1
+
+            batch = {
+                "rgb": self.images[frame],
+                "mask": self.masks[frame],
+                "idx": jnp.asarray(frame),
+                "smpl_scale": jnp.ones(1),
+            }
+            key, self.rng = jax.random.split(self.rng)
+            (self.params, self.buffers, self.opt_state, metrics,
+             render) = self.train_step(
+                self.params, self.buffers, self.opt_state, self.cache,
+                batch, key, jnp.asarray(t_iter),
+                jnp.asarray(self.active_sh_degree),
+                self.region_lap, self.region_lap,
+                self.lap_pos_w, self.lap_color_w,
+            )
+
+            if t_iter % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                n_alive = int(np.asarray(self.buffers.alive).sum())
+                dt = time.time() - t0
+                print(f"[{t_iter:6d}] loss={m['loss']:.4f} "
+                      f"photo={m['photo']:.4f} n_gs={n_alive/1000:.1f}K "
+                      f"({log_every/max(dt,1e-9):.2f} it/s)", flush=True)
+                t0 = time.time()
+
+            self._periodic_check(t_iter, render)
+            self._adjust_density(t_iter)
+            self.step += 1
+
+        self.save_ckpt("final")
+        return self.validate("final")
+
+    # ------------------------------------------------------------------
+    def _periodic_check(self, t_iter, render):
+        cfg = self.cfg
+        if t_iter > 0 and t_iter % cfg.train.save_ckpt_interval == 0:
+            self.save_ckpt(f"{t_iter:06d}")
+        if t_iter > 0 and t_iter % cfg.train.val_interval == 0:
+            self.validate(f"{t_iter:06d}")
+        if (self.anim_dataset is not None and t_iter > 0
+                and t_iter % cfg.train.anim_interval == 0):
+            self.animate_chunk(iter_s=f"{t_iter:06d}", max_frames=32,
+                               save_video=False)
+        if t_iter > 0 and t_iter % cfg.train.viz_interval == 0:
+            self.visualize(f"{t_iter:06d}")
+        if t_iter % 1000 == 0 and t_iter > 0:
+            if self.active_sh_degree < self.cfg.human.sh_degree:
+                self.active_sh_degree += 1
+
+    # ------------------------------------------------------------------
+    def _fwd_numpy(self):
+        """Fresh forward for density decisions, pulled to host."""
+        out = avatar_forward(
+            self.params, self.buffers, self.avatar_cfg, self.template,
+            self.cache, dataset_idx=0, smpl_scale=jnp.ones(1),
+        )
+        return {k: np.asarray(v) for k, v in out.items()
+                if k in ("xyz_canon", "scales_canon", "scales", "shs",
+                         "opacity")}
+
+    def _buffers_numpy(self):
+        return {f: np.asarray(getattr(self.buffers, f))
+                for f in self.buffers._fields}
+
+    def _apply_density_result(self, res):
+        if not res.changed:
+            return
+        b = self.buffers
+        self.buffers = b._replace(
+            alive=jnp.asarray(res.alive),
+            scaling_multiplier=jnp.asarray(res.scaling_multiplier),
+            lbs_weights=jnp.asarray(res.lbs_weights),
+            vertex_label=jnp.asarray(res.vertex_label),
+            anchor_normals=jnp.asarray(res.anchor_normals),
+            faces=jnp.asarray(res.faces),
+            face_valid=jnp.asarray(res.face_valid),
+            edges=jnp.asarray(res.edges),
+            edge_valid=jnp.asarray(res.edge_valid),
+            num_level0=jnp.asarray(res.num_alive, jnp.int32),
+            max_radii2d=jnp.zeros_like(b.max_radii2d),
+            xyz_grad_accum=jnp.zeros_like(b.xyz_grad_accum),
+            grad_denom=jnp.zeros_like(b.grad_denom),
+        )
+        if res.new_xyz is not None:
+            self.params = self.params._replace(xyz=jnp.asarray(res.new_xyz))
+        self.opt_state = zero_moments_for_slots(
+            self.opt_state, jnp.asarray(res.changed_slots))
+        self._reset_opacity()
+        self._rebuild_laplacians()
+
+    def _reset_opacity(self):
+        """Raise the opacity floor to 0.5 (sings_hybrid.py:1260-1278)."""
+        if self.avatar_cfg.fixed_opacity:
+            return
+        feats = triplane_features(self.params.triplane, self.params.xyz,
+                                  self.avatar_cfg.triplane)
+        logit = appearance_opacity_logit(self.params.appearance_dec, feats,
+                                         self.avatar_cfg.decoder)
+        offset = jnp.where(logit > 0, 0.0, -logit)
+        self.buffers = self.buffers._replace(opacity_offset=offset)
+
+    def _adjust_density(self, t_iter):
+        dc = self.density_cfg
+        prune_flag = False
+        if (dc["prune_from_iter"] <= t_iter < dc["prune_until_iter"]
+                and (t_iter - dc["prune_from_iter"])
+                % dc["prune_interval"] == 0):
+            fwd = self._fwd_numpy()
+            res = prune_and_simplify(
+                self._buffers_numpy(), np.asarray(self.params.xyz), fwd,
+                opacity_threshold=dc["prune_opacity_threshold"],
+                scale_threshold=dc["prune_scale_threshold"],
+                prune_max_n_gs_once=dc.get("prune_max_n_gs_once", 5000),
+                min_n_gs=int(
+                    self.cfg.human.density_control.min_n_gaussians),
+                collapse_rate=dc.get("prune_collapse_rate", 0.5),
+                face_capacity=self.avatar_cfg.face_capacity,
+                edge_capacity=self.avatar_cfg.edge_capacity,
+            )
+            if res.changed:
+                prune_flag = True
+                print(f"[density] prune -> {res.num_alive} gaussians")
+                self._apply_density_result(res)
+
+        if (dc["densify_from_iter"] <= t_iter < dc["densify_until_iter"]
+                and (t_iter - dc["densify_from_iter"]
+                     - dc["densify_interval"])
+                % dc["densify_interval"] == 0):
+            if prune_flag:
+                # reference quirk: skip + drift the interval
+                # (gs_trainer.py:311-313)
+                dc["densify_interval"] += 1
+                return
+            fwd = self._fwd_numpy()
+            res = densify_and_subdivide(
+                self._buffers_numpy(), np.asarray(self.params.xyz), fwd,
+                grad_threshold=dc["densify_grad_threshold"],
+                scale_threshold=dc["densify_scale_threshold"],
+                max_screen_size=dc.get("densify_render_size_threshold", 20),
+                max_n_gs=int(
+                    self.cfg.human.density_control.max_n_gaussians),
+                face_capacity=self.avatar_cfg.face_capacity,
+                edge_capacity=self.avatar_cfg.edge_capacity,
+            )
+            if res.changed:
+                print(f"[density] densify -> {res.num_alive} gaussians")
+                new_mask = res.changed_slots > 0.5
+                self._apply_density_result(res)
+                self._rescale_new_scales(new_mask, fwd)
+
+    def _rescale_new_scales(self, new_mask: np.ndarray, old_fwd: dict):
+        """Match decoded scales of new slots to interpolated targets
+        (sings_hybrid.py:1140-1147): target = clipped mean parent scale."""
+        fwd = self._fwd_numpy()
+        target = np.clip(old_fwd["scales_canon"].mean(-1), None, 0.008)
+        fresh = fwd["scales_canon"].mean(-1)
+        mult = np.asarray(self.buffers.scaling_multiplier).copy()
+        # new slots interpolate targets from their own decoded values
+        ratio = np.clip(target.mean() / np.maximum(fresh, 1e-9), 0.05, 20.0)
+        mult[new_mask, 0] *= ratio[new_mask]
+        self.buffers = self.buffers._replace(
+            scaling_multiplier=jnp.asarray(mult))
+
+    # ------------------------------------------------------------------
+    def _render_eval(self, data: dict, camera=None, bg=None):
+        camera = camera or self.camera
+        bg = self.bg_color * 0 if bg is None else bg
+        out = avatar_forward(
+            self.params, self.buffers, self.avatar_cfg, self.template,
+            self.cache,
+            global_orient=jnp.asarray(data["global_orient"]),
+            body_pose=jnp.asarray(data["body_pose"]),
+            betas=jnp.asarray(data.get("betas", self.params.betas)),
+            transl=jnp.asarray(data["transl"]),
+            smpl_scale=jnp.asarray(data.get("smpl_scale", np.ones(1))),
+            ext_tfs=data.get("ext_tfs"),
+            eval_mode=True,
+        )
+        from .step import sh_degree_mask
+
+        shs = out["shs"] * sh_degree_mask(
+            jnp.asarray(self.active_sh_degree))[None, :, None]
+        pkg = rasterize(
+            out["xyz"], out["scales"], out["rotq"], out["opacity"][:, 0],
+            shs, camera, sh_degree=3, bg=bg,
+            alive=self.buffers.alive > 0.5, backend="pallas",
+            **self.raster_kw,
+        )
+        return jnp.clip(pkg["render"], 0.0, 1.0), out
+
+    def validate(self, iter_s="final"):
+        metrics = {"psnr": [], "ssim": [], "lpips": []}
+        for i, frame in enumerate(self.kit.val_split):
+            data = {
+                "global_orient": self.kit.smpl["global_orient"][frame],
+                "body_pose": self.kit.smpl["body_pose"][frame],
+                "betas": self.kit.smpl["betas"],
+                "transl": self.kit.smpl["transl"][frame],
+            }
+            img, _ = self._render_eval(data, bg=jnp.zeros(3))
+            gt = self.images[frame]
+            metrics["psnr"].append(float(psnr(img, gt)))
+            metrics["ssim"].append(float(ssim(img, gt)))
+            metrics["lpips"].append(float(lpips_distance(
+                self.lpips_params, img[None].clip(max=1.0), gt[None])[0]))
+            if i < 4:
+                self._save_image_pair(
+                    gt, img, os.path.join(
+                        self.logdir, "val", f"full_{iter_s}_{i:03d}.png"))
+        result = {k: float(np.mean(v)) for k, v in metrics.items()}
+        self.eval_metrics[iter_s] = result
+        print(f"[val {iter_s}] " + " ".join(
+            f"{k}={v:.4f}" for k, v in result.items()), flush=True)
+        with open(os.path.join(self.logdir,
+                               f"results_{self.cfg.mode}.json"), "w") as fh:
+            json.dump(self.eval_metrics, fh, indent=2)
+        return result
+
+    @staticmethod
+    def _save_image_pair(gt, pred, path):
+        from PIL import Image
+
+        a = (np.asarray(gt).transpose(1, 2, 0) * 255).astype(np.uint8)
+        b = (np.asarray(pred).transpose(1, 2, 0).clip(0, 1) * 255).astype(
+            np.uint8)
+        Image.fromarray(np.concatenate([a, b], axis=1)).save(path)
+
+    # ------------------------------------------------------------------
+    def animate_chunk(self, chunk_size=16, iter_s="final", save_video=True,
+                      max_frames=None):
+        if self.anim_dataset is None:
+            print("No animation dataset")
+            return 0.0
+        ds = self.anim_dataset
+        num_frames = ds.num_frames if max_frames is None else min(
+            ds.num_frames, max_frames)
+        out_dir = os.path.join(self.logdir, "anim")
+        os.makedirs(out_dir, exist_ok=True)
+
+        gs_attrs = get_gs_attrs(self.params, self.buffers, self.avatar_cfg)
+        from .step import sh_degree_mask
+
+        deg_mask = sh_degree_mask(jnp.asarray(self.active_sh_degree))
+
+        t_start = time.time()
+        frames_done = 0
+        for start in range(0, num_frames, chunk_size):
+            chunk = ds.get_chunk(start, start + chunk_size)
+            b = chunk["body_pose"].shape[0]
+            out = avatar_forward_chunk(
+                self.params, self.buffers, self.avatar_cfg, self.template,
+                self.cache, gs_attrs,
+                global_orient=jnp.asarray(chunk["global_orient"]),
+                body_pose=jnp.asarray(chunk["body_pose"]),
+                betas=self.params.betas,
+                transl=jnp.asarray(chunk["transl"]),
+                smpl_scale=jnp.asarray(chunk["smpl_scale"]),
+                ext_tfs=tuple(jnp.asarray(x) for x in chunk["ext_tfs"]),
+            )
+            for j in range(b):
+                shs = out["shs"][j] * deg_mask[None, :, None]
+                pkg = rasterize(
+                    out["xyz"][j], out["scales"][j], out["rotq"][j],
+                    out["opacity"][j][:, 0], shs, ds.camera, sh_degree=3,
+                    bg=self.bg_color, alive=self.buffers.alive > 0.5,
+                    backend="pallas", **self.raster_kw)
+                img = np.asarray(jnp.clip(pkg["render"], 0, 1))
+                from PIL import Image
+
+                Image.fromarray(
+                    (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+                ).save(os.path.join(out_dir, f"{start + j:05d}.jpg"))
+                frames_done += 1
+        dt = time.time() - t_start
+        fps = frames_done / max(dt, 1e-9)
+        print(f"[anim] {frames_done} frames in {dt:.2f}s ({fps:.2f} fps)",
+              flush=True)
+        if save_video:
+            video = os.path.join(
+                self.logdir, f"anim_{ds.motion_name}_{iter_s}.mp4")
+            _ffmpeg_video(out_dir, video, fps=20, ext="jpg")
+        return fps
+
+    def render_canonical(self, iter_s="final", nframes=10, img_size=256):
+        cams = get_rotating_cameras(img_size=img_size, nframes=nframes)
+        static = get_smpl_static_params(
+            np.asarray(self.params.betas),
+            pose_type=self.cfg.human.canon_pose_type)
+        out_dir = os.path.join(self.logdir, "canon")
+        for i, cam in enumerate(cams):
+            img, _ = self._render_eval(static, camera=cam, bg=self.bg_color)
+            from PIL import Image
+
+            Image.fromarray(
+                (np.asarray(img).transpose(1, 2, 0).clip(0, 1) * 255)
+                .astype(np.uint8)
+            ).save(os.path.join(out_dir, f"{i:05d}.png"))
+
+    def visualize(self, iter_s):
+        out = avatar_forward(
+            self.params, self.buffers, self.avatar_cfg, self.template,
+            self.cache, dataset_idx=0, smpl_scale=jnp.ones(1),
+        )
+        save_ply(out, os.path.join(self.logdir, "meshes",
+                                   f"human_pcd_{iter_s}_splat.ply"),
+                 alive=np.asarray(self.buffers.alive))
+
+    def save_splat_file(self, pose_type="little_a_pose"):
+        data = get_smpl_static_params(np.asarray(self.params.betas),
+                                      pose_type=pose_type)
+        _, out = self._render_eval(data, bg=self.bg_color)
+        save_splat(out, os.path.join(self.logdir, "showcase.splat"),
+                   alive=np.asarray(self.buffers.alive))
+
+    # ------------------------------------------------------------------
+    def save_ckpt(self, iter_s="final"):
+        path = os.path.join(self.logdir_ckpt, f"human_{iter_s}.npz")
+        save_checkpoint(
+            path, params=self.params, buffers=self.buffers,
+            opt_state=self.opt_state, step=self.step,
+            active_sh_degree=self.active_sh_degree)
+        print(f"[ckpt] saved {path}", flush=True)
+
+    def load_ckpt(self, path: str):
+        res = load_checkpoint(
+            path, params_template=self.params,
+            buffers_template=self.buffers, opt_template=self.opt_state)
+        self.params = res["params"]
+        self.buffers = res["buffers"]
+        self.opt_state = res["opt_state"]
+        self.step = res["step"]
+        self.active_sh_degree = res["active_sh_degree"]
+        self._rebuild_laplacians()
+        print(f"[ckpt] loaded {path} (step {self.step})", flush=True)
+
+
+def _ffmpeg_video(img_dir: str, out: str, fps=20, ext="png"):
+    import subprocess
+
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    cmd = (
+        f"ffmpeg -hide_banner -loglevel error -framerate {fps} "
+        f"-pattern_type glob -i '{img_dir}/*.{ext}' "
+        f"-vf \"pad=ceil(iw/2)*2:ceil(ih/2)*2\" "
+        f"-c:v libx264 -pix_fmt yuv420p {out} -y"
+    )
+    try:
+        subprocess.call(cmd, shell=True)
+    except Exception as e:  # ffmpeg missing is non-fatal
+        print(f"[video] ffmpeg failed: {e}")

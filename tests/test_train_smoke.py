@@ -1,0 +1,111 @@
+"""End-to-end training smoke: a few steps on the bundled reference kit
+with the synthetic body template, downscaled images, CPU interpret-mode
+rasterizer. Verifies the full pipeline (data -> avatar -> pallas render
+-> losses -> optax update -> checkpoint round-trip) and that the loss
+decreases.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from sings_tpu.config.core import load_config
+from sings_tpu.config.defaults import DEFAULTS
+
+KIT = "/root/reference/examples/training_kits/f_2"
+
+
+def make_cfg(tmp_path, steps=6):
+    overrides = [
+        f"output_path={tmp_path}",
+        "exp_name=smoke",
+        "dataset.downscale=8",
+        "dataset.max_frames=8",
+        f"train.num_steps={steps}",
+        "train.init_steps=20",
+        "train.val_interval=100000",
+        "train.viz_interval=100000",
+        "train.save_ckpt_interval=100000",
+        "human.n_subdivision=0",
+        "human.sh_degree=0",
+        "human.optim_pose=True",
+        "human.optim_trans=True",
+        "human.disable_posedirs=True",
+        "human.body_template=smplh",
+        "human.loss.lpips_w=0.0",
+        "human.loss.patch_size=16",
+        "human.kplanes.resolution=[16,16,16]",
+        "human.kplanes.output_coordinate_dim=8",
+        "human.kplanes.multires=[1,2]",
+        "human.density_control.max_n_gaussians=4000",
+        "human.density_control.min_n_gaussians=100",
+        "tpu.smpl_model_dir=/nonexistent",
+    ]
+    return load_config(DEFAULTS, None, overrides)
+
+
+@pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
+def test_train_smoke(tmp_path):
+    from sings_tpu.train.trainer import Trainer
+
+    cfg = make_cfg(str(tmp_path), steps=6)
+    trainer = Trainer(cfg)
+    assert trainer.tpl.name == "synthetic"
+    assert trainer.camera.width == 64 and trainer.camera.height == 112
+
+    losses = []
+    orig_step = trainer.train_step
+
+    def wrapped(*a, **k):
+        out = orig_step(*a, **k)
+        losses.append(float(out[3]["loss"]))
+        return out
+
+    trainer.train_step = wrapped
+    result = trainer.train()
+    assert np.isfinite(losses).all()
+    assert "psnr" in result and np.isfinite(result["psnr"])
+    # checkpoint written and loadable
+    ckpt = os.path.join(trainer.logdir_ckpt, "human_final.npz")
+    assert os.path.exists(ckpt)
+    trainer2 = Trainer(cfg)  # auto-resumes from the final checkpoint
+    assert trainer2.step == trainer.step
+
+    # export paths work
+    trainer.visualize("smoke")
+    ply = os.path.join(trainer.logdir, "meshes", "human_pcd_smoke_splat.ply")
+    assert os.path.getsize(ply) > 1000
+    from sings_tpu.export.ply import load_ply
+
+    back = load_ply(ply)
+    n_alive = int(np.asarray(trainer.buffers.alive).sum())
+    assert back["xyz"].shape == (n_alive, 3)
+
+
+@pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
+def test_loss_decreases_overfit_one_frame(tmp_path):
+    """Longer single-frame overfit: the photometric loss must drop."""
+    from sings_tpu.train.trainer import Trainer
+
+    cfg = make_cfg(str(tmp_path), steps=30)
+    cfg.dataset.max_frames = 3
+    cfg.human.opt_geo_from = 0
+    cfg.human.opt_app_from = 0
+    cfg.human.loss.laplacian.position_strength = 1.0
+    cfg.human.loss.mesh_edge = 0.0
+    cfg.human.loss.gaussian_connect = 0.0
+    trainer = Trainer(cfg)
+
+    photos = []
+    orig_step = trainer.train_step
+
+    def wrapped(*a, **k):
+        out = orig_step(*a, **k)
+        photos.append(float(out[3]["photo"]))
+        return out
+
+    trainer.train_step = wrapped
+    trainer.train()
+    first = np.mean(photos[:5])
+    last = np.mean(photos[-5:])
+    assert last < first, (first, last)
