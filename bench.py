@@ -1,0 +1,86 @@
+"""Benchmark: differentiable rasterizer fwd+bwd throughput on TPU.
+
+Headline metric (BASELINE.json): Mpix/s for a full differentiable
+render step (preprocess + binning + Pallas composite forward AND
+backward through all gaussian attributes) at 50k gaussians, 512x512.
+
+vs_baseline anchors against 40 Mpix/s — an estimate of the reference's
+CUDA diff-gaussian-rasterization fwd+bwd at the same config on the
+single consumer GPU the reference targets (README.md:31; the repo
+publishes no numbers, BASELINE.md "Published numbers: None").
+
+Prints exactly one JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+BASELINE_MPIX_S = 40.0
+
+
+def main():
+    os.makedirs("/root/jax_cache", exist_ok=True)
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sings_tpu.ops.graphics import make_camera
+    from sings_tpu.ops.rasterizer.api import rasterize
+    from sings_tpu.ops.sh import rgb2sh
+
+    n, hw = 50_000, 512
+    on_tpu = jax.default_backend() == "tpu"
+    kw = (dict(tile=16, chunk=128, max_span=3, max_pairs=262144)
+          if on_tpu else dict(tile=16, chunk=8, max_span=3, interpret=True))
+    if not on_tpu:
+        n, hw = 2_000, 64  # CPU interpret fallback keeps the line printable
+
+    rng = np.random.RandomState(0)
+    cam = make_camera(np.eye(4), height=hw, width=hw, fovx=0.9, fovy=0.9)
+    means = jnp.asarray(np.stack([
+        rng.uniform(-0.8, 0.8, n), rng.uniform(-0.8, 0.8, n),
+        rng.uniform(2.0, 6.0, n)], -1).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.004, 0.02, (n, 3)).astype(np.float32))
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    opac = jnp.asarray(rng.uniform(0.2, 1.0, n).astype(np.float32))
+    shs = jnp.zeros((n, 16, 3)).at[:, 0, :].set(
+        rgb2sh(jnp.asarray(rng.rand(n, 3).astype(np.float32))))
+    bg = jnp.zeros(3)
+
+    def loss(means, scales, opac, shs):
+        out = rasterize(means, scales, quats, opac, shs, cam, sh_degree=3,
+                        bg=bg, backend="pallas", **kw)
+        return jnp.sum(out["render"] ** 2)
+
+    grad_j = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    g = jax.block_until_ready(grad_j(means, scales, opac, shs))
+    assert all(bool(jnp.isfinite(x).all()) for x in g)
+
+    iters = 20 if on_tpu else 2
+    t0 = time.time()
+    for _ in range(iters):
+        g = grad_j(means, scales, opac, shs)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / iters
+    mpix_s = hw * hw / dt / 1e6
+
+    print(json.dumps({
+        "metric": f"rasterizer fwd+bwd Mpix/s @ {n} gaussians {hw}^2 "
+                  f"({jax.default_backend()})",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,11 @@ class Camera(NamedTuple):
     width: int
     tan_fovx: float
     tan_fovy: float
+    # EWA view-space clamp limits; differ from tan_fov* only for
+    # strip sub-cameras (dist/shard.camera_strip), where the physical
+    # frustum is wider than the rendered strip
+    clamp_tan_fovx: float | None = None
+    clamp_tan_fovy: float | None = None
 
 
 def projection_matrix(znear, zfar, fovx, fovy) -> np.ndarray:
