@@ -61,17 +61,17 @@ def main():
                         bg=bg, backend="pallas", **kw)
         return jnp.sum(out["render"] ** 2)
 
-    grad_j = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
-    g = jax.block_until_ready(grad_j(means, scales, opac, shs))
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2, 3))
+    g = jax.jit(grad_fn)(means, scales, opac, shs)
     assert all(bool(jnp.isfinite(x).all()) for x in g)
 
-    iters = 20 if on_tpu else 2
-    t0 = time.time()
-    for _ in range(iters):
-        g = grad_j(means, scales, opac, shs)
-    jax.block_until_ready(g)
-    dt = (time.time() - t0) / iters
-    mpix_s = hw * hw / dt / 1e6
+    # chained-scan timing: remote TPU backends make block_until_ready /
+    # per-iter readback timing meaningless (see ops/timing.py)
+    from sings_tpu.ops.timing import device_time
+
+    k2 = 18 if on_tpu else 4
+    dt = device_time(grad_fn, (means, scales, opac, shs), k1=2, k2=k2)
+    mpix_s = hw * hw / max(dt, 1e-9) / 1e6
 
     print(json.dumps({
         "metric": f"rasterizer fwd+bwd Mpix/s @ {n} gaussians {hw}^2 "

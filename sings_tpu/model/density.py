@@ -287,3 +287,101 @@ def _unchanged(buffers_np: dict, c: int, n_alive: int) -> DensityResult:
         edges=buffers_np["edges"], edge_valid=buffers_np["edge_valid"],
         changed_slots=np.zeros(c, np.float32), num_alive=n_alive,
     )
+
+
+def densify_and_prune_vanilla(
+    buffers_np: dict,
+    xyz: np.ndarray,
+    fwd: dict,
+    *,
+    grad_threshold: float = 0.0002,
+    min_opacity: float = 0.005,
+    percent_dense: float = 0.01,
+    densify_extent: float = 1.0,
+    max_screen_size: float | None = 20.0,
+    max_n_gs: int = 200_000,
+    rng: np.random.RandomState | None = None,
+) -> DensityResult:
+    """Classic 3DGS clone/split/prune (reference sings_hybrid.py:934-1010).
+
+    Point-based: new gaussians are not mesh vertices (faces unchanged),
+    matching the reference's vanilla strategy which carries no mesh.
+    """
+    rng = rng or np.random.RandomState(0)
+    alive = buffers_np["alive"] > 0.5
+    c = alive.shape[0]
+    n_alive = int(alive.sum())
+    scale_threshold = percent_dense * densify_extent
+
+    grads = np.nan_to_num(
+        buffers_np["xyz_grad_accum"] / np.maximum(
+            buffers_np["grad_denom"], 1e-12))
+    scales = fwd["scales_canon"]
+    opacity = fwd["opacity"].reshape(-1)
+    max_scale = scales.max(axis=1)
+
+    out_alive = buffers_np["alive"].copy()
+    out_xyz = xyz.copy()
+    out_mult = buffers_np["scaling_multiplier"].copy()
+    out_lbsw = buffers_np["lbs_weights"].copy()
+    out_labels = buffers_np["vertex_label"].copy()
+    changed = np.zeros(c, np.float32)
+
+    def take_free(k):
+        free = np.where(out_alive < 0.5)[0]
+        return free[: min(k, len(free))]
+
+    budget = max(max_n_gs - n_alive, 0)
+
+    # clone small high-grad gaussians in place
+    clone_sel = (grads >= grad_threshold) & (max_scale <= scale_threshold)
+    clone_sel &= alive
+    clone_idx = np.where(clone_sel)[0][:budget]
+    slots = take_free(len(clone_idx))
+    clone_idx = clone_idx[: len(slots)]
+    out_alive[slots] = 1.0
+    out_xyz[slots] = fwd["xyz_canon"][clone_idx]
+    out_mult[slots] = out_mult[clone_idx]
+    out_lbsw[slots] = out_lbsw[clone_idx]
+    out_labels[slots] = out_labels[clone_idx]
+    changed[slots] = 1.0
+    budget -= len(slots)
+
+    # split large high-grad gaussians: 2 children sampled from the
+    # gaussian, parent pruned, multiplier / (0.8 * 2)
+    split_sel = (grads >= grad_threshold) & (max_scale > scale_threshold)
+    split_sel &= alive
+    split_idx = np.where(split_sel)[0][: max(budget // 2, 0)]
+    n_split = len(split_idx)
+    if n_split:
+        children = np.repeat(split_idx, 2)
+        slots = take_free(len(children))
+        children = children[: len(slots)]
+        samples = rng.randn(len(children), 3) * scales[children]
+        out_alive[slots] = 1.0
+        out_xyz[slots] = fwd["xyz_canon"][children] + samples
+        out_mult[slots] = out_mult[children] / (0.8 * 2)
+        out_lbsw[slots] = out_lbsw[children]
+        out_labels[slots] = out_labels[children]
+        changed[slots] = 1.0
+        out_alive[split_idx] = 0.0
+        changed[split_idx] = 1.0
+
+    # prune transparent / huge gaussians
+    prune = (opacity < min_opacity) & alive
+    if max_screen_size:
+        prune |= (buffers_np["max_radii2d"] > max_screen_size) & alive
+        prune |= (max_scale > 0.1 * densify_extent) & alive
+    prune &= out_alive > 0.5
+    out_alive[prune] = 0.0
+    changed[prune] = 1.0
+
+    return DensityResult(
+        changed=bool(changed.any()), new_xyz=out_xyz, alive=out_alive,
+        scaling_multiplier=out_mult, lbs_weights=out_lbsw,
+        vertex_label=out_labels,
+        anchor_normals=buffers_np["anchor_normals"],
+        faces=buffers_np["faces"], face_valid=buffers_np["face_valid"],
+        edges=buffers_np["edges"], edge_valid=buffers_np["edge_valid"],
+        changed_slots=changed, num_alive=int(out_alive.sum()),
+    )

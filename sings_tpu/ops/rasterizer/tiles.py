@@ -108,15 +108,14 @@ def bin_gaussians(
     # key = tile * N + rank fits int32 for n_tiles * n <= 2^31
     assert n_tiles * n < 2**31 - 1, "int32 sort key overflow"
     key = jnp.where(valid, tile_id * n + rank[:, None], INVALID).reshape(-1)
-    gauss_of_pair = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, cap)
-    ).reshape(-1)
 
     p = n * cap
     flat_id = jnp.arange(p, dtype=jnp.int32)
-    sorted_key, sorted_gauss, sorted_flat = jax.lax.sort(
-        (key, gauss_of_pair, flat_id), num_keys=1
-    )
+    # ONE sort with a single payload: the gaussian id is recovered as
+    # flat // cap, and the inverse mapping comes from a cheap int32
+    # scatter instead of a second O(P log P) sort.
+    sorted_key, sorted_flat = jax.lax.sort_key_val(key, flat_id)
+    sorted_gauss = sorted_flat // jnp.int32(cap)
     is_valid = sorted_key != INVALID
     num_pairs = jnp.sum(is_valid.astype(jnp.int32))
     sorted_tile = jnp.where(is_valid, sorted_key // n, n_tiles)
@@ -150,8 +149,8 @@ def bin_gaussians(
     padded_gauss = padded_gauss.at[spare].set(-1)
 
     # original pair -> aligned slot (for gradient un-sorting): invert the
-    # sort permutation by sorting (original id, dst) pairs by original id.
-    _, pair_slot = jax.lax.sort_key_val(sorted_flat, dst)
+    # sort permutation with one int32 scatter.
+    pair_slot = jnp.zeros((p,), jnp.int32).at[sorted_flat].set(dst)
 
     return TileBinning(
         padded_gauss=padded_gauss,

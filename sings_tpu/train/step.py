@@ -79,7 +79,8 @@ def make_train_step(
     lpips_params: LPIPSParams | None,
     raster_kw: dict,
 ):
-    """Build the jitted train step closure.
+    """Build the train step body (unjitted; callers jit it directly or
+    chain it with make_train_scan).
 
     The RegionLaplacian pytree is passed per call (its *contents* change
     after topology updates but its shapes stay fixed — no recompile).
@@ -91,8 +92,7 @@ def make_train_step(
 
     lpips = lpips_fn if lpips_params is not None else None
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(
+    def train_step_body(
         params: AvatarParams,
         buffers: AvatarBuffers,
         opt_state,
@@ -210,4 +210,39 @@ def make_train_step(
         metrics = {k: v for k, v in aux.items()}
         return params, buffers, opt_state, metrics, render
 
-    return train_step
+    return train_step_body
+
+
+def make_train_scan(train_step_inner):
+    """Chain several training steps in one dispatch via lax.scan.
+
+    Host<->device dispatch latency (tens of ms on tunneled TPU
+    backends, and nonzero everywhere) would otherwise bound the step
+    rate; scanning K steps amortizes it K-fold. Density control and
+    periodic host work happen between scan chunks, so callers pick K to
+    align with the next schedule boundary.
+
+    train_step_inner must be the UNJITTED step body with signature
+    (params, buffers, opt_state, cache, batch, rng, step, sh_deg,
+     lap_pos, lap_color, lap_pos_w, lap_color_w) -> (params, buffers,
+     opt_state, metrics, render).
+    """
+    @functools.partial(jax.jit, static_argnums=(), donate_argnums=(0, 1, 2))
+    def scan_steps(params, buffers, opt_state, cache, batches, rngs,
+                   step0, active_sh_degree, region_lap_pos,
+                   region_lap_color, lap_pos_w, lap_color_w):
+        def body(carry, x):
+            params, buffers, opt_state, i = carry
+            batch, rng = x
+            params, buffers, opt_state, metrics, _ = train_step_inner(
+                params, buffers, opt_state, cache, batch, rng,
+                step0 + i, active_sh_degree, region_lap_pos,
+                region_lap_color, lap_pos_w, lap_color_w)
+            return (params, buffers, opt_state, i + 1), metrics["loss"]
+
+        (params, buffers, opt_state, _), losses = jax.lax.scan(
+            body, (params, buffers, opt_state, jnp.int32(0)),
+            (batches, rngs))
+        return params, buffers, opt_state, losses
+
+    return scan_steps

@@ -209,11 +209,17 @@ class Trainer:
         self.lpips_params = get_lpips(cfg.tpu.lpips_weights, seed=cfg.seed)
         self.raster_kw = default_raster_kw(cfg, self.camera.height,
                                            self.camera.width)
-        self.train_step = make_train_step(
+        self.train_step_body = make_train_step(
             self.avatar_cfg, step_cfg, self.template, self.camera, self.tx,
             self.lpips_params if loss_cfg.lpips_w > 0 else None,
             self.raster_kw,
         )
+        self.train_step = jax.jit(self.train_step_body,
+                                  donate_argnums=(0, 1, 2))
+        from .step import make_train_scan
+
+        self.train_scan = make_train_scan(self.train_step_body)
+        self.inner_steps = int(cfg.tpu.get("inner_steps", 1) or 1)
 
         # region laplacians
         self.lap_pos_w = jnp.asarray(parse_region_weights(
@@ -266,47 +272,107 @@ class Trainer:
         t0 = time.time()
         log_every = 50
 
+        steps_since_log = 0
         while self.step < num_steps:
             t_iter = self.step
-            if cursor >= len(order):
-                random.shuffle(order)
-                cursor = 0
-            frame = self.kit.train_split[order[cursor]]
-            cursor += 1
 
-            batch = {
-                "rgb": self.images[frame],
-                "mask": self.masks[frame],
-                "idx": jnp.asarray(frame),
-                "smpl_scale": jnp.ones(1),
-            }
+            # how many consecutive steps can run inside one dispatch
+            k = 1
+            if self.inner_steps > 1 and not self._is_event(t_iter):
+                while (k < self.inner_steps and t_iter + k < num_steps
+                       and not self._is_event(t_iter + k)):
+                    k += 1
+
+            frames = []
+            for _ in range(k):
+                if cursor >= len(order):
+                    random.shuffle(order)
+                    cursor = 0
+                frames.append(self.kit.train_split[order[cursor]])
+                cursor += 1
+
             key, self.rng = jax.random.split(self.rng)
-            (self.params, self.buffers, self.opt_state, metrics,
-             render) = self.train_step(
-                self.params, self.buffers, self.opt_state, self.cache,
-                batch, key, jnp.asarray(t_iter),
-                jnp.asarray(self.active_sh_degree),
-                self.region_lap, self.region_lap,
-                self.lap_pos_w, self.lap_color_w,
-            )
+            if k == 1:
+                frame = frames[0]
+                batch = {
+                    "rgb": self.images[frame],
+                    "mask": self.masks[frame],
+                    "idx": jnp.asarray(frame),
+                    "smpl_scale": jnp.ones(1),
+                }
+                (self.params, self.buffers, self.opt_state, metrics,
+                 render) = self.train_step(
+                    self.params, self.buffers, self.opt_state, self.cache,
+                    batch, key, jnp.asarray(t_iter),
+                    jnp.asarray(self.active_sh_degree),
+                    self.region_lap, self.region_lap,
+                    self.lap_pos_w, self.lap_color_w,
+                )
+                last_loss = metrics["loss"]
+            else:
+                idxs = jnp.asarray(frames)
+                batches = {
+                    "rgb": self.images[idxs],
+                    "mask": self.masks[idxs],
+                    "idx": idxs,
+                    "smpl_scale": jnp.ones((k, 1)),
+                }
+                rngs = jax.random.split(key, k)
+                (self.params, self.buffers, self.opt_state,
+                 losses) = self.train_scan(
+                    self.params, self.buffers, self.opt_state, self.cache,
+                    batches, rngs, jnp.asarray(t_iter),
+                    jnp.asarray(self.active_sh_degree),
+                    self.region_lap, self.region_lap,
+                    self.lap_pos_w, self.lap_color_w,
+                )
+                last_loss = losses[-1]
+                render = None
 
-            if t_iter % log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+            steps_since_log += k
+            if steps_since_log >= log_every:
                 n_alive = int(np.asarray(self.buffers.alive).sum())
                 dt = time.time() - t0
-                print(f"[{t_iter:6d}] loss={m['loss']:.4f} "
-                      f"photo={m['photo']:.4f} n_gs={n_alive/1000:.1f}K "
-                      f"({log_every/max(dt,1e-9):.2f} it/s)", flush=True)
+                print(f"[{t_iter:6d}] loss={float(last_loss):.4f} "
+                      f"n_gs={n_alive/1000:.1f}K "
+                      f"({steps_since_log/max(dt,1e-9):.2f} it/s)",
+                      flush=True)
                 t0 = time.time()
+                steps_since_log = 0
 
-            self._periodic_check(t_iter, render)
-            self._adjust_density(t_iter)
-            self.step += 1
+            last_t = t_iter + k - 1
+            self._periodic_check(last_t, render)
+            self._adjust_density(last_t)
+            self.step += k
 
         self.save_ckpt("final")
         return self.validate("final")
 
     # ------------------------------------------------------------------
+    def _is_event(self, t):
+        """True when step t triggers host-side work after it runs
+        (periodic checks, SH bump, density control) — scan chunks must
+        break at these boundaries."""
+        cfg = self.cfg
+        if t > 0 and (
+            t % cfg.train.save_ckpt_interval == 0
+            or t % cfg.train.val_interval == 0
+            or (self.anim_dataset is not None
+                and t % cfg.train.anim_interval == 0)
+            or t % cfg.train.viz_interval == 0
+            or t % 1000 == 0
+        ):
+            return True
+        dc = self.density_cfg
+        if (dc["prune_from_iter"] <= t < dc["prune_until_iter"]
+                and (t - dc["prune_from_iter"]) % dc["prune_interval"] == 0):
+            return True
+        if (dc["densify_from_iter"] <= t < dc["densify_until_iter"]
+                and (t - dc["densify_from_iter"] - dc["densify_interval"])
+                % dc["densify_interval"] == 0):
+            return True
+        return False
+
     def _periodic_check(self, t_iter, render):
         cfg = self.cfg
         if t_iter > 0 and t_iter % cfg.train.save_ckpt_interval == 0:
@@ -552,9 +618,11 @@ class Trainer:
         print(f"[anim] {frames_done} frames in {dt:.2f}s ({fps:.2f} fps)",
               flush=True)
         if save_video:
+            from ..export.video import create_video
+
             video = os.path.join(
                 self.logdir, f"anim_{ds.motion_name}_{iter_s}.mp4")
-            _ffmpeg_video(out_dir, video, fps=20, ext="jpg")
+            create_video(out_dir, video, fps=20, ext="jpg")
         return fps
 
     def render_canonical(self, iter_s="final", nframes=10, img_size=256):
@@ -608,19 +676,3 @@ class Trainer:
         self.active_sh_degree = res["active_sh_degree"]
         self._rebuild_laplacians()
         print(f"[ckpt] loaded {path} (step {self.step})", flush=True)
-
-
-def _ffmpeg_video(img_dir: str, out: str, fps=20, ext="png"):
-    import subprocess
-
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    cmd = (
-        f"ffmpeg -hide_banner -loglevel error -framerate {fps} "
-        f"-pattern_type glob -i '{img_dir}/*.{ext}' "
-        f"-vf \"pad=ceil(iw/2)*2:ceil(ih/2)*2\" "
-        f"-c:v libx264 -pix_fmt yuv420p {out} -y"
-    )
-    try:
-        subprocess.call(cmd, shell=True)
-    except Exception as e:  # ffmpeg missing is non-fatal
-        print(f"[video] ffmpeg failed: {e}")
