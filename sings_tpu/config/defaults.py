@@ -145,6 +145,7 @@ DEFAULTS = {
             "max_pairs": None,
         },
         "capacity_margin": 1.25,   # slot headroom over current gaussians
+        "inner_steps": 8,          # train steps fused per dispatch (lax.scan)
         "lpips_weights": None,     # optional npz of pretrained VGG-LPIPS
         "smpl_model_dir": "/root/reference/data/human_models",
         "parsing_dir":

@@ -128,3 +128,78 @@ def load_ply(path: str) -> dict:
     rotq = np.stack([cols[f"rot_{i}"] for i in range(4)], 1)
     return {"xyz": xyz, "shs": shs, "opacity": opacity[:, None],
             "scales": scales, "rotq": rotq}
+
+
+# icosahedron for ellipsoid visualization meshes
+_ICO_T = (1.0 + 5.0**0.5) / 2.0
+_ICO_VERTS = np.array([
+    [-1, _ICO_T, 0], [1, _ICO_T, 0], [-1, -_ICO_T, 0], [1, -_ICO_T, 0],
+    [0, -1, _ICO_T], [0, 1, _ICO_T], [0, -1, -_ICO_T], [0, 1, -_ICO_T],
+    [_ICO_T, 0, -1], [_ICO_T, 0, 1], [-_ICO_T, 0, -1], [-_ICO_T, 0, 1],
+], np.float32)
+_ICO_VERTS /= np.linalg.norm(_ICO_VERTS, axis=1, keepdims=True)
+_ICO_FACES = np.array([
+    [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+    [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+    [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+    [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+], np.int32)
+
+
+def save_ellipsoid_mesh(out: dict, path: str, pose: str = "deformed",
+                        alive: np.ndarray | None = None,
+                        max_gaussians: int = 20000):
+    """Instanced icosphere mesh of the gaussian ellipsoids with vertex
+    colors (reference save_ellipsoid_meshes, vis.py:92-119, minus the
+    open3d dependency). Writes a colored binary .ply."""
+    from ..ops.rotations import quaternion_to_matrix
+    import jax.numpy as jnp
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    key = "xyz_canon" if pose == "canonical" else "xyz"
+    xyz = np.asarray(out[key], np.float32)
+    shs = np.asarray(out["shs"], np.float32)
+    opacity = np.asarray(out["opacity"], np.float32).reshape(-1)
+    scales = np.asarray(out.get("scales_canon", out.get("scales")),
+                        np.float32)
+    rotq = np.asarray(out.get("rotq_canon", out.get("rotq")), np.float32)
+    if alive is not None:
+        m = np.asarray(alive) > 0.5
+        xyz, shs, opacity, scales, rotq = (
+            a[m] for a in (xyz, shs, opacity, scales, rotq))
+    if len(xyz) > max_gaussians:
+        sel = np.random.RandomState(0).choice(len(xyz), max_gaussians,
+                                              replace=False)
+        xyz, shs, opacity, scales, rotq = (
+            a[sel] for a in (xyz, shs, opacity, scales, rotq))
+
+    from ..ops.sh import C0
+
+    n = len(xyz)
+    R = np.asarray(quaternion_to_matrix(jnp.asarray(rotq)))
+    # (N, 12, 3): ellipsoid verts = R @ diag(s) @ ico + center
+    verts = np.einsum("nij,vj->nvi", R * scales[:, None, :], _ICO_VERTS)
+    verts = (verts + xyz[:, None, :]).reshape(-1, 3)
+    faces = (_ICO_FACES[None] + 12 * np.arange(n)[:, None, None]).reshape(
+        -1, 3)
+    rgb = np.clip(shs[:, 0] * C0 + 0.5, 0, 1)
+    colors = np.repeat((rgb * 255).astype(np.uint8), 12, axis=0)
+
+    header = [
+        "ply", "format binary_little_endian 1.0",
+        f"element vertex {len(verts)}",
+        "property float x", "property float y", "property float z",
+        "property uchar red", "property uchar green", "property uchar blue",
+        f"element face {len(faces)}",
+        "property list uchar int vertex_indices", "end_header",
+    ]
+    vdata = np.zeros(len(verts), dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+    vdata["xyz"] = verts
+    vdata["rgb"] = colors
+    fdata = np.zeros(len(faces), dtype=[("n", "u1"), ("idx", "<i4", 3)])
+    fdata["n"] = 3
+    fdata["idx"] = faces
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(header) + "\n").encode("ascii"))
+        fh.write(vdata.tobytes())
+        fh.write(fdata.tobytes())

@@ -46,16 +46,18 @@ def _composite_tiled(cfg, means2d, conics, colors, opacities, depths,
     return out
 
 
-def _gather_feats(binning, means2d, conics, colors, opacities):
+def _gather_feats(binning, means2d, conics, colors, opacities, chunk):
+    """Sorted-order pair features (NFEAT, PK + chunk), zero-padded tail
+    (see pallas_kernels module docstring)."""
     n = means2d.shape[0]
-    idx = jnp.clip(binning.padded_gauss, 0)
-    valid = binning.padded_gauss >= 0
+    idx = jnp.clip(binning.sorted_gauss, 0)
+    valid = binning.sorted_gauss >= 0
     feat = jnp.concatenate(
         [means2d, conics, colors, opacities[:, None],
          jnp.zeros((n, NFEAT - 9), means2d.dtype)], axis=1
     )
-    # (NFEAT, P_pad) transposed layout — see pallas_kernels module docstring
-    return (feat[idx] * valid[:, None]).T, valid
+    feats = (feat[idx] * valid[:, None]).T
+    return jnp.pad(feats, ((0, 0), (0, chunk))), valid
 
 
 def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
@@ -70,7 +72,8 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
         g2d, tile=cfg.tile, n_tiles_x=ntx, n_tiles_y=nty,
         max_span=cfg.max_span, align=cfg.chunk, max_pairs=cfg.max_pairs,
     )
-    feats, valid = _gather_feats(binning, means2d, conics, colors, opacities)
+    feats, valid = _gather_feats(binning, means2d, conics, colors,
+                                 opacities, cfg.chunk)
     out = composite_fwd(
         feats, binning.tile_offsets, tile=cfg.tile, chunk=cfg.chunk,
         n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
@@ -84,14 +87,14 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
     t_final = t_final.transpose(0, 2, 1, 3).reshape(
         nty * cfg.tile, ntx * cfg.tile
     )[: cfg.height, : cfg.width]
-    res = (feats, binning.tile_offsets, out, binning.pair_slot, valid,
-           means2d.shape[0])
+    res = (feats, binning.tile_offsets, binning.grad_offsets, out,
+           binning.pair_slot, binning.pair_slot_capacity, means2d.shape[0])
     return (color, t_final), res
 
 
 def _composite_bwd(cfg, res, cot):
     g_color, g_t = cot
-    feats, offsets, fwd_out, pair_slot, valid, n = res
+    feats, offsets, grad_offsets, fwd_out, pair_slot, grad_cap, n = res
     ntx, nty = _pad_tiles(cfg)
     hp, wp = nty * cfg.tile, ntx * cfg.tile
     npx = cfg.tile * cfg.tile
@@ -112,10 +115,13 @@ def _composite_bwd(cfg, res, cot):
     )
 
     pair_grads = composite_bwd(
-        feats, offsets, fwd_out, gout, tile=cfg.tile, chunk=cfg.chunk,
-        n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
+        feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
+        chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty, grad_cap=grad_cap,
+        interpret=cfg.interpret,
     )
-    pair_grads = jnp.where(valid[None, :], pair_grads, 0.0).T  # (P_pad, NFEAT)
+    # zero the reserved spare slot (invalid pairs gather from it; the
+    # kernel never writes it)
+    pair_grads = pair_grads.at[:, -1].set(0.0).T  # (grad_cap, NFEAT)
     pg = pair_grads[pair_slot].reshape(n, -1, NFEAT).sum(axis=1)
 
     d_means2d = pg[:, 0:2]

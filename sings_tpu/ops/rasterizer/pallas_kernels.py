@@ -6,26 +6,31 @@ gs_renderer_single.py:87-95). Key mapping decisions:
 
   * one grid instance per image tile (TILE x TILE pixels on the lane
     axis), gaussian chunks of CHUNK on the sublane axis;
+  * the kernels read each tile's segment of the depth/tile-sorted pair
+    array DIRECTLY: the DMA window starts at the 128-aligned floor of
+    the segment and head/tail items are masked by index comparison.
+    This removes the padded re-layout entirely — TPU scatters/gathers
+    cost ~10ns/element, so re-laying out 450k pairs costed more than
+    all the compositing math combined;
   * the order-dependent front-to-back compositing is reformulated per
     chunk in log space: the exclusive cumulative product of (1 - alpha)
-    becomes a strictly-lower-triangular matmul on the MXU, turning a
-    length-CHUNK sequential loop into two matmuls + elementwise VPU work;
+    becomes a strictly-lower-triangular matmul on the MXU;
   * the CUDA early-termination rule (stop when T*(1-alpha) < 1e-4) is
-    reproduced exactly with a monotone flag mask (see reference.py), plus
-    a per-tile while-loop early exit once every pixel saturates;
+    reproduced exactly with a monotone flag mask (see reference.py),
+    plus a per-tile while-loop early exit once every pixel saturates;
   * the backward pass is a second front-to-back walk using the global
     closed form  dC/dalpha_i = c_i*T_i - S_i/(1-alpha_i)  with
-    S_i = C_final - C_upto_i, so no per-gaussian reverse walk and no
-    atomics: per-pair gradients are written to the pair array and
-    reduced outside with a gather (never a float scatter).
+    S_i = C_final - C_upto_i; per-pair gradients stream to an aligned
+    gradient buffer (its per-tile regions are padded so chunk writes
+    stay 128-aligned) and are reduced outside with a gather (never a
+    float scatter).
 
-Pair features layout (16, P_pad) float32 — transposed so per-chunk DMA
-slices the minor (pair) axis at 128-aligned offsets (a Mosaic
-requirement for HBM slices). Rows:
+Pair features layout (16, PK + CHUNK) float32 — transposed so chunk DMA
+slices the minor (pair) axis; the extra CHUNK columns are zero padding
+for the last window overrun. Rows:
   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c |
   5 r | 6 g | 7 b | 8 opacity | 9..15 zero
-Backward writes the gradient of each slot in the same layout
-(row 8 = d_opacity).
+Backward writes gradients in the same row layout (row 8 = d_opacity).
 """
 from __future__ import annotations
 
@@ -52,8 +57,9 @@ def _pixel_coords(tile_idx, tile: int, n_tiles_x: int):
     return tx * tile + col, ty * tile + row
 
 
-def _chunk_alpha(f, px_x, px_y):
-    """Shared fwd/bwd chunk math. f: (CHUNK, NFEAT) features.
+def _chunk_alpha(f, px_x, px_y, pair_ok):
+    """Shared fwd/bwd chunk math. f: (CHUNK, NFEAT) features,
+    pair_ok: (CHUNK, 1) mask for items inside the tile's segment.
 
     Returns (alpha, Gv, dx, dy) with shapes (CHUNK, npx)."""
     mx, my = f[:, 0:1], f[:, 1:2]
@@ -64,7 +70,8 @@ def _chunk_alpha(f, px_x, px_y):
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     gv = jnp.exp(power)
     alpha = jnp.minimum(0.99, op * gv)
-    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+    alpha = jnp.where(
+        (power > 0.0) | (alpha < ALPHA_MIN) | ~pair_ok, 0.0, alpha)
     return alpha, gv, dx, dy
 
 
@@ -81,27 +88,36 @@ def _tri_incl(chunk: int):
     return (j <= i).astype(jnp.float32)
 
 
+def _segment(offs_ref, t, chunk):
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
+    nchunks = (end - base + chunk - 1) // chunk
+    return start, end, base, nchunks
+
+
 def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
                 *, tile, chunk, n_tiles_x):
     t = pl.program_id(0)
     npx = tile * tile
-    start = offs_ref[t]
-    end = offs_ref[t + 1]
-    nchunks = (end - start) // chunk
+    start, end, base, nchunks = _segment(offs_ref, t, chunk)
 
     px_x, px_y = _pixel_coords(t, tile, n_tiles_x)
     ltri = _tri_strict(chunk)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     def body(carry):
         c, t_carry, acc_r, acc_g, acc_b = carry
-        off = pl.multiple_of(start + c * chunk, chunk)
+        off = pl.multiple_of(base + c * chunk, chunk)
         dma = pltpu.make_async_copy(
             feats_hbm.at[:, pl.ds(off, chunk)], fscratch, sem
         )
         dma.start()
         dma.wait()
         f = jnp.transpose(fscratch[:], (1, 0))  # (chunk, NFEAT)
-        alpha, _, _, _ = _chunk_alpha(f, px_x, px_y)
+        gidx = off + sub_iota
+        pair_ok = (gidx >= start) & (gidx < end)
+        alpha, _, _, _ = _chunk_alpha(f, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
         excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
         t_bef = t_carry * jnp.exp(excl)
@@ -133,18 +149,18 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
     out_ref[0] = jnp.concatenate([acc_r, acc_g, acc_b, t_final, zeros], axis=0)
 
 
-def _bwd_kernel(offs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
+def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
                 fscratch, gscratch, sem, osem,
                 *, tile, chunk, n_tiles_x):
     t = pl.program_id(0)
     npx = tile * tile
-    start = offs_ref[t]
-    end = offs_ref[t + 1]
-    nchunks = (end - start) // chunk
+    start, end, base, nchunks = _segment(offs_ref, t, chunk)
+    gbase = goffs_ref[t]
 
     px_x, px_y = _pixel_coords(t, tile, n_tiles_x)
     ltri = _tri_strict(chunk)
     linc = _tri_incl(chunk)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     cf_r = fwd_ref[0, 0:1, :]
     cf_g = fwd_ref[0, 1:2, :]
@@ -155,16 +171,28 @@ def _bwd_kernel(offs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
     g_b = gout_ref[0, 2:3, :]
     g_t = gout_ref[0, 3:4, :]
 
+    def write_chunk(c):
+        odma = pltpu.make_async_copy(
+            gscratch,
+            grads_hbm.at[:, pl.ds(pl.multiple_of(gbase + c * chunk, chunk),
+                                  chunk)],
+            osem,
+        )
+        odma.start()
+        odma.wait()
+
     def body(carry):
         c, t_carry, cp_r, cp_g, cp_b = carry
-        off = pl.multiple_of(start + c * chunk, chunk)
+        off = pl.multiple_of(base + c * chunk, chunk)
         dma = pltpu.make_async_copy(
             feats_hbm.at[:, pl.ds(off, chunk)], fscratch, sem
         )
         dma.start()
         dma.wait()
         f = jnp.transpose(fscratch[:], (1, 0))  # (chunk, NFEAT)
-        alpha, gv, dx, dy = _chunk_alpha(f, px_x, px_y)
+        gidx = off + sub_iota
+        pair_ok = (gidx >= start) & (gidx < end)
+        alpha, gv, dx, dy = _chunk_alpha(f, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
         excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
         t_bef = t_carry * jnp.exp(excl)
@@ -210,11 +238,7 @@ def _bwd_kernel(offs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
              zeros, zeros, zeros, zeros, zeros, zeros, zeros], axis=1
         )
         gscratch[:] = jnp.transpose(gchunk, (1, 0))  # (NFEAT, chunk)
-        odma = pltpu.make_async_copy(
-            gscratch, grads_hbm.at[:, pl.ds(off, chunk)], osem
-        )
-        odma.start()
-        odma.wait()
+        write_chunk(c)
 
         cp_r = cp_r + jnp.sum(wr, axis=0, keepdims=True)
         cp_g = cp_g + jnp.sum(wg, axis=0, keepdims=True)
@@ -235,7 +259,17 @@ def _bwd_kernel(offs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         jnp.zeros((1, npx), jnp.float32),
         jnp.zeros((1, npx), jnp.float32),
     )
-    jax.lax.while_loop(cond, body, init)
+    c_done, *_ = jax.lax.while_loop(cond, body, init)
+
+    # early exit leaves later chunks unwritten; pairs there were never
+    # composited (flags false) so their gradients are zero — flush zeros
+    gscratch[:] = jnp.zeros((NFEAT, chunk), jnp.float32)
+
+    def zero_body(c, _):
+        write_chunk(c)
+        return 0
+
+    jax.lax.fori_loop(c_done, nchunks, zero_body, 0)
 
 
 @functools.partial(
@@ -246,8 +280,8 @@ def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
                   interpret=False):
     """Run the forward kernel.
 
-    feats: (NFEAT, P_pad) aligned pair features (transposed layout).
-    offsets: (T+1,) int32 aligned tile offsets (multiples of `chunk`).
+    feats: (NFEAT, PK + chunk) sorted-order pair features.
+    offsets: (T+1,) int32 unaligned tile offsets into sorted order.
     Returns (T, 8, tile*tile): rows 0-2 accumulated color (no background),
     row 3 final transmittance.
     """
@@ -278,25 +312,28 @@ def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
 
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
-                              "interpret")
+                              "grad_cap", "interpret")
 )
-def composite_bwd(feats, offsets, fwd_out, gout, *, tile, chunk, n_tiles_x,
-                  n_tiles_y, interpret=False):
-    """Run the backward kernel. Returns per-pair gradients (NFEAT, P_pad).
+def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
+                  chunk, n_tiles_x, n_tiles_y, grad_cap, interpret=False):
+    """Run the backward kernel.
 
-    Slots outside any tile segment are left uninitialized — callers must
-    mask with the pair-validity mask before reducing.
+    Returns per-pair gradients (NFEAT, grad_cap) in the aligned
+    grad-buffer layout (tiles.TileBinning.grad_offsets / pair_slot).
+    Unwritten slots (region tails, the reserved spare) are undefined —
+    pair_slot points only at written slots plus the spare, which callers
+    must zero before gathering.
     """
     n_tiles = n_tiles_x * n_tiles_y
     npx = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, npx), lambda t, offs: (t, 0, 0),
+            pl.BlockSpec((1, 8, npx), lambda t, offs, goffs: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, npx), lambda t, offs: (t, 0, 0),
+            pl.BlockSpec((1, 8, npx), lambda t, offs, goffs: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -313,7 +350,7 @@ def composite_bwd(feats, offsets, fwd_out, gout, *, tile, chunk, n_tiles_x,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NFEAT, grad_cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(offsets, feats, fwd_out, gout)
+    )(offsets, grad_offsets, feats, fwd_out, gout)

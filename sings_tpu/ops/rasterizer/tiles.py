@@ -2,21 +2,25 @@
 
 The CUDA rasterizer builds per-tile gaussian lists with a dynamic
 duplicate-and-sort (InclusiveSum + RadixSort). The TPU redesign keeps
-every shape static:
+every shape static and — crucially — avoids per-element gathers and
+scatters, which cost ~10ns/element on TPU (two orders of magnitude more
+than sorting the same data):
 
-  1. one global depth argsort gives each gaussian a front-to-back rank;
-  2. each gaussian emits up to ``max_tiles_per_gauss`` (tile, rank)
-     pairs from its (center-cropped) tile bounding rectangle;
-  3. one ``lax.sort_key_val`` over ``key = tile * N + rank`` groups the
-     pairs by tile, depth-ordered within each tile — the global sort
-     makes a per-tile sort unnecessary;
-  4. pairs are re-laid-out so every tile's segment starts at a
-     128-aligned offset (aligned DMA in the Pallas kernel), with the
-     spare gap slots marked invalid.
-
-Everything is O(P log P) sorts + gathers; the only scatter is one int32
-index scatter for the aligned layout. Gradients flow back through the
-inverse mapping (gather + reshape + sum), never through a float scatter.
+  1. one global depth argsort ranks gaussians front-to-back;
+  2. each gaussian emits up to max_span^2 (tile, rank) pairs from its
+     (center-cropped) tile rectangle;
+  3. one lax.sort over key = tile * N + rank groups pairs by tile,
+     depth-ordered within tiles; valid pairs land in a contiguous
+     prefix (invalid keys sort to the end) which is sliced to the
+     static max_pairs capacity;
+  4. per-tile offsets come from one searchsorted — the pair array is
+     NOT re-laid out: the composite kernel reads each tile's segment
+     through a 128-aligned DMA window and masks the head/tail items
+     (pallas_kernels.py), so no scatter ever touches the hot path;
+  5. only the backward pass needs an inverse mapping (original pair ->
+     slot in the kernel-written gradient buffer); it is built from a
+     1024-element scatter + cumsum (piecewise-constant segment shifts)
+     and one more sort — still no large scatter.
 """
 from __future__ import annotations
 
@@ -31,23 +35,36 @@ INVALID = jnp.int32(2**31 - 1)
 
 
 class TileBinning(NamedTuple):
-    """Static-shape binning result.
+    """Static-shape binning result (PK = max_pairs capacity).
 
-    padded_gauss: (P_pad,) int32 gaussian index per aligned pair slot,
-        -1 for gap/invalid slots.
-    tile_offsets: (T + 1,) int32 offsets into the aligned pair array;
-        every offset is a multiple of the alignment (128).
-    pair_slot: (N * cap,) int32 aligned slot for each original pair
-        (P_pad - 1, a reserved zero slot, for invalid pairs).
-    num_pairs: () int32 number of valid pairs (diagnostics).
-    overflow: () int32 number of tiles dropped by the span cap.
+    sorted_gauss: (PK,) int32 gaussian index per sorted pair, -1 invalid.
+    tile_offsets: (T + 1,) int32 UNALIGNED offsets into sorted order.
+    grad_offsets: (T + 1,) int32 aligned offsets into the (PG,) gradient
+        buffer the backward kernel writes (PG = grad_capacity).
+    pair_slot: (N * cap,) int32 grad-buffer slot per original pair
+        (PG - 1, the reserved slot, for invalid/dropped pairs).
+    num_pairs, overflow: () int32 diagnostics.
     """
 
-    padded_gauss: jax.Array
+    sorted_gauss: jax.Array
     tile_offsets: jax.Array
+    grad_offsets: jax.Array
     pair_slot: jax.Array
     num_pairs: jax.Array
     overflow: jax.Array
+
+    @property
+    def grad_capacity(self) -> int:
+        return self.pair_slot_capacity
+
+    pair_slot_capacity: int = 0
+
+
+def grad_capacity(max_pairs: int, n_tiles: int, align: int) -> int:
+    """Gradient-buffer slots: per-tile head + tail alignment padding
+    (each region covers [aligned segment floor, end) rounded up) plus
+    one reserved spare slot."""
+    return max_pairs + 2 * align * n_tiles + 1
 
 
 def bin_gaussians(
@@ -56,24 +73,21 @@ def bin_gaussians(
     tile: int,
     n_tiles_x: int,
     n_tiles_y: int,
-    max_span: int = 5,
+    max_span: int = 3,
     align: int = 128,
     max_pairs: int | None = None,
 ) -> TileBinning:
-    """Build depth-ordered, tile-grouped, 128-aligned pair lists.
+    """Build depth-ordered, tile-grouped pair lists (see module doc).
 
-    max_span: per-axis cap on the tile span of one gaussian (the rect is
-        center-cropped to max_span x max_span tiles; the cap exists only
-        to keep shapes static — spans above it are rare and clipped).
-    max_pairs: static capacity of the aligned pair array. Pairs beyond
-        it (the farthest in the farthest tiles) are dropped. Defaults to
-        the loss-free worst case N * max_span^2 + align * n_tiles.
+    max_span: per-axis cap on the tile span of one gaussian (static
+        shape requirement; larger spans are center-cropped).
+    max_pairs: static capacity of the sorted pair prefix; pairs beyond
+        it (highest tile ids) are dropped and counted in `overflow`.
     """
     n = g.means2d.shape[0]
     n_tiles = n_tiles_x * n_tiles_y
     cap = max_span * max_span
 
-    # front-to-back rank per gaussian (masked gaussians sink to the end)
     depth_key = jnp.where(g.mask, g.depths, jnp.inf)
     order = jnp.argsort(depth_key)
     rank = jnp.argsort(order).astype(jnp.int32)
@@ -81,9 +95,10 @@ def bin_gaussians(
     x0, y0, x1, y1 = tile_rect(g, tile, n_tiles_x, n_tiles_y)
     w = x1 - x0
     h = y1 - y0
-    # center-crop oversized rects around the gaussian's own tile
-    cx = jnp.clip((g.means2d[:, 0] // tile).astype(jnp.int32), 0, n_tiles_x - 1)
-    cy = jnp.clip((g.means2d[:, 1] // tile).astype(jnp.int32), 0, n_tiles_y - 1)
+    cx = jnp.clip((g.means2d[:, 0] // tile).astype(jnp.int32), 0,
+                  n_tiles_x - 1)
+    cy = jnp.clip((g.means2d[:, 1] // tile).astype(jnp.int32), 0,
+                  n_tiles_y - 1)
     x0c = jnp.where(w > max_span,
                     jnp.clip(cx - max_span // 2, x0, x1 - max_span), x0)
     y0c = jnp.where(h > max_span,
@@ -92,7 +107,6 @@ def bin_gaussians(
     hc = jnp.minimum(h, max_span)
     overflow = jnp.sum((w * h - wc * hc) * g.mask)
 
-    # pair expansion: k -> (dx, dy) within the cropped rect
     k = jnp.arange(cap, dtype=jnp.int32)
     dx = k % max_span
     dy = k // max_span
@@ -103,59 +117,70 @@ def bin_gaussians(
         & (w[:, None] > 0)
         & (h[:, None] > 0)
     )
-    tile_id = (y0c[:, None] + dy[None, :]) * n_tiles_x + (x0c[:, None] + dx[None, :])
+    tile_id = (y0c[:, None] + dy[None, :]) * n_tiles_x + (
+        x0c[:, None] + dx[None, :])
 
-    # key = tile * N + rank fits int32 for n_tiles * n <= 2^31
     assert n_tiles * n < 2**31 - 1, "int32 sort key overflow"
     key = jnp.where(valid, tile_id * n + rank[:, None], INVALID).reshape(-1)
 
     p = n * cap
     flat_id = jnp.arange(p, dtype=jnp.int32)
-    # ONE sort with a single payload: the gaussian id is recovered as
-    # flat // cap, and the inverse mapping comes from a cheap int32
-    # scatter instead of a second O(P log P) sort.
     sorted_key, sorted_flat = jax.lax.sort_key_val(key, flat_id)
-    sorted_gauss = sorted_flat // jnp.int32(cap)
-    is_valid = sorted_key != INVALID
-    num_pairs = jnp.sum(is_valid.astype(jnp.int32))
-    sorted_tile = jnp.where(is_valid, sorted_key // n, n_tiles)
 
-    # contiguous per-tile offsets, then aligned offsets
+    if max_pairs is None:
+        max_pairs = p
+    pk = min(max_pairs, p)
+    sk = sorted_key[:pk]
+    sf = sorted_flat[:pk]
+    is_valid = sk != INVALID
+    num_pairs = jnp.sum((sorted_key != INVALID).astype(jnp.int32))
+    overflow = overflow + jnp.maximum(num_pairs - pk, 0)
+    sorted_gauss = jnp.where(is_valid, sf // jnp.int32(cap), -1)
+    sorted_tile = jnp.where(is_valid, sk // n, n_tiles)
+
     offsets = jnp.searchsorted(
         sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+
+    # the backward kernel writes chunk-aligned windows starting at the
+    # aligned floor of each segment, so each tile's grad region covers
+    # [base_t, end_t) rounded up: head + count rounded to align
     counts = offsets[1:] - offsets[:-1]
-    padded_counts = ((counts + align - 1) // align) * align
-    padded_offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
-    )
+    base = (offsets[:-1] // align) * align
+    head = offsets[:-1] - base
+    padded_counts = ((head + counts + align - 1) // align) * align
+    grad_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(padded_counts).astype(jnp.int32)])
+    pg = grad_capacity(max_pairs, n_tiles, align)
+    spare = pg - 1
 
-    if max_pairs is None:
-        max_pairs = p + (align - 1) * n_tiles  # loss-free worst case
-    p_pad = max_pairs + 1  # + 1 reserved zero slot
-    spare = p_pad - 1
-    padded_offsets = jnp.minimum(padded_offsets, max_pairs)
+    # grad slot per sorted pair i: i + shift[tile_i], with
+    # shift[t] = grad_offsets[t] - base_t (the kernel writes element i
+    # of the window at grad_offsets[t] + (i - base_t)). shift is
+    # piecewise constant over the tile-contiguous sorted order — build
+    # it with a 1k-element scatter of deltas at segment starts + one
+    # cumsum (avoiding a 450k-element table gather).
+    shift = grad_offsets[:-1] - base                     # (T,)
+    deltas = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), shift]))
+    seg_delta = jnp.zeros((pk,), jnp.int32).at[offsets[:-1]].add(
+        deltas, mode="drop")  # out-of-range (truncated tiles) dropped
+    shift_of_i = jnp.cumsum(seg_delta)
+    slot = jnp.arange(pk, dtype=jnp.int32) + shift_of_i
+    slot = jnp.where(is_valid & (slot < pg - 1), slot, spare)
 
-    # aligned destination slot of each sorted pair
-    i = jnp.arange(p, dtype=jnp.int32)
-    tile_clamped = jnp.minimum(sorted_tile, n_tiles - 1)
-    dst = padded_offsets[tile_clamped] + (i - offsets[tile_clamped])
-    dst = jnp.where(is_valid & (dst < padded_offsets[tile_clamped + 1]), dst, spare)
-
-    padded_gauss = jnp.full((p_pad,), -1, jnp.int32).at[dst].set(
-        jnp.where(is_valid, sorted_gauss, -1), mode="drop"
-    )
-    # the reserved slot must stay invalid even if an invalid pair wrote it
-    padded_gauss = padded_gauss.at[spare].set(-1)
-
-    # original pair -> aligned slot (for gradient un-sorting): invert the
-    # sort permutation with one int32 scatter.
-    pair_slot = jnp.zeros((p,), jnp.int32).at[sorted_flat].set(dst)
+    # invert to original pair order with one more sort
+    slot_full = jnp.concatenate(
+        [slot, jnp.full((p - pk,), spare, jnp.int32)])
+    sf_full = jnp.concatenate([sf, sorted_flat[pk:]])
+    _, pair_slot = jax.lax.sort_key_val(sf_full, slot_full)
 
     return TileBinning(
-        padded_gauss=padded_gauss,
-        tile_offsets=padded_offsets,
+        sorted_gauss=sorted_gauss,
+        tile_offsets=offsets,
+        grad_offsets=grad_offsets,
         pair_slot=pair_slot,
         num_pairs=num_pairs,
         overflow=overflow,
+        pair_slot_capacity=pg,
     )

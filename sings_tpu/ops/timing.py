@@ -34,10 +34,13 @@ def _run_chained(fn, args, length: int):
                 new_args[i] = a + (tok * 0.0).astype(a.dtype)
                 break
         out = fn(*new_args)
+        # token = reduction over EVERY output leaf: anything cheaper lets
+        # XLA dead-code-eliminate the parts not feeding the token
         leaves = [x for x in jax.tree_util.tree_leaves(out)
-                  if hasattr(x, "dtype")
-                  and jnp.issubdtype(x.dtype, jnp.floating)]
-        tok = leaves[0].reshape(-1)[0]
+                  if hasattr(x, "dtype")]
+        tok = jnp.float32(0.0)
+        for x in leaves:
+            tok = tok + jnp.sum(x).astype(jnp.float32) * 1e-30
         return tok, ()
 
     @jax.jit

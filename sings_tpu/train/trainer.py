@@ -648,6 +648,12 @@ class Trainer:
         save_ply(out, os.path.join(self.logdir, "meshes",
                                    f"human_pcd_{iter_s}_splat.ply"),
                  alive=np.asarray(self.buffers.alive))
+        from ..export.ply import save_ellipsoid_mesh
+
+        save_ellipsoid_mesh(
+            out, os.path.join(self.logdir, "meshes",
+                              f"human_voxel_{iter_s}_deformed_rgb.ply"),
+            alive=np.asarray(self.buffers.alive))
 
     def save_splat_file(self, pose_type="little_a_pose"):
         data = get_smpl_static_params(np.asarray(self.params.betas),

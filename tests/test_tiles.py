@@ -34,9 +34,8 @@ def test_binning_matches_bruteforce():
     mask = np.asarray(g.mask)
     depths = np.asarray(g.depths)
 
-    # brute force: per tile, gaussians overlapping it, sorted by depth
     offs = np.asarray(b.tile_offsets)
-    padded = np.asarray(b.padded_gauss)
+    sg = np.asarray(b.sorted_gauss)
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
         want = [
@@ -44,37 +43,67 @@ def test_binning_matches_bruteforce():
             if mask[i] and x0[i] <= tx < x1[i] and y0[i] <= ty < y1[i]
         ]
         want.sort(key=lambda i: depths[i])
-        got = [int(v) for v in padded[offs[t]:offs[t + 1]] if v >= 0]
+        got = [int(v) for v in sg[offs[t]:offs[t + 1]]]
         assert got == want, (t, got, want)
 
     assert int(b.overflow) == 0
-    # alignment
-    assert np.all(offs % 8 == 0)
 
 
 def test_binning_span_cap_crops():
     tile = 16
     cam, means, scales, quats, opac, rgb = make_scene(hw=64)
-    # one huge gaussian spanning everything
     scales = scales.at[0].set(2.0)
     g = preprocess(means, scales, quats, opac, rgb, cam)
     b = bin_gaussians(g, tile=tile, n_tiles_x=4, n_tiles_y=4, max_span=2,
                       align=8)
     assert int(b.overflow) > 0
-    # gaussian 0 appears in at most 4 tiles
-    count0 = int((np.asarray(b.padded_gauss) == 0).sum())
+    count0 = int((np.asarray(b.sorted_gauss) == 0).sum())
     assert count0 <= 4
 
 
-def test_pair_slot_roundtrip():
+def test_binning_max_pairs_truncates():
+    cam, means, scales, quats, opac, rgb = make_scene(hw=64)
+    g = preprocess(means, scales, quats, opac, rgb, cam)
+    full = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
+                         align=8)
+    npairs = int(full.num_pairs)
+    capped = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
+                           align=8, max_pairs=npairs // 2)
+    assert int(capped.overflow) >= npairs - npairs // 2
+    assert capped.sorted_gauss.shape[0] == npairs // 2
+
+
+def test_pair_slot_grad_layout():
+    """pair_slot must map each valid pair to the grad-buffer slot the
+    backward kernel writes: grad_offsets[t] + (i - aligned_floor)."""
+    align = 8
     cam, means, scales, quats, opac, rgb = make_scene(hw=64)
     g = preprocess(means, scales, quats, opac, rgb, cam)
     b = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
-                      align=8)
-    padded = np.asarray(b.padded_gauss)
-    slots = np.asarray(b.pair_slot).reshape(len(np.asarray(g.mask)), -1)
-    spare = len(padded) - 1
-    for gi in range(slots.shape[0]):
-        for s in slots[gi]:
-            if s != spare:
-                assert padded[s] == gi
+                      align=align)
+    offs = np.asarray(b.tile_offsets)
+    goffs = np.asarray(b.grad_offsets)
+    sg = np.asarray(b.sorted_gauss)
+    slots = np.asarray(b.pair_slot)
+    cap = 64
+    spare = b.pair_slot_capacity - 1
+
+    # rebuild slot -> sorted index mapping per tile and check round trip
+    seen = set()
+    for t in range(16):
+        base = (offs[t] // align) * align
+        for i in range(offs[t], offs[t + 1]):
+            slot = goffs[t] + (i - base)
+            gid = sg[i]
+            assert gid >= 0
+            # the pair (gid, k) whose slot this is must map back here
+            matches = [
+                f for f in range(gid * cap, (gid + 1) * cap)
+                if slots[f] == slot
+            ]
+            assert len(matches) == 1
+            assert slot not in seen
+            seen.add(slot)
+    # all other pairs point at the spare slot
+    n_valid = int(b.num_pairs)
+    assert (slots == spare).sum() == slots.shape[0] - n_valid
