@@ -22,7 +22,8 @@ from typing import NamedTuple
 
 import numpy as np
 
-from ..mesh.ops import collapse_edges, subdivide, unique_edges, vertex_normals
+from ..mesh.ops import subdivide, unique_edges, vertex_normals
+from ..native import collapse_edges_fast as collapse_edges
 
 HAND_LABELS = (6, 7)
 
