@@ -254,10 +254,15 @@ class Trainer:
         b = self.buffers
         edges = np.asarray(b.edges)[np.asarray(b.edge_valid) > 0.5]
         labels = np.asarray(b.vertex_label)
-        if self._lap_pad is None:
-            # fixed region partition size: the largest region can grow via
-            # densification; reserve capacity-sized padding once
-            self._lap_pad = int(self.avatar_cfg.capacity)
+        # pad regions to the largest current region + growth margin;
+        # grow-only so the padded shapes (and the compiled step) stay
+        # stable across most topology changes
+        biggest = max(
+            int((labels == r).sum()) for r in range(15)) if len(labels) else 1
+        want = min(_round_up(int(biggest * 1.5) + 256, 256),
+                   int(self.avatar_cfg.capacity))
+        if self._lap_pad is None or want > self._lap_pad:
+            self._lap_pad = want
         self.region_lap = build_region_laplacian(
             edges, labels, np.asarray(self.lap_pos_w), num_regions=15,
             pad_to=self._lap_pad)
@@ -582,35 +587,62 @@ class Trainer:
         gs_attrs = get_gs_attrs(self.params, self.buffers, self.avatar_cfg)
         from .step import sh_degree_mask
 
-        deg_mask = sh_degree_mask(jnp.asarray(self.active_sh_degree))
+        if not hasattr(self, "_anim_render_j"):
+            # one dispatch per chunk: decode-once forward + lax.map over
+            # the per-frame rasterization (per-frame dispatch would pay a
+            # host roundtrip each)
+            def render_chunk(params, buffers, gs_attrs, chunk, deg):
+                out = avatar_forward_chunk(
+                    params, buffers, self.avatar_cfg, self.template,
+                    self.cache, gs_attrs,
+                    global_orient=chunk["global_orient"],
+                    body_pose=chunk["body_pose"],
+                    betas=params.betas,
+                    transl=chunk["transl"],
+                    smpl_scale=chunk["smpl_scale"],
+                    ext_tfs=chunk["ext_tfs"],
+                )
+                deg_mask = sh_degree_mask(deg)
+
+                def one(frame):
+                    xyz, scales, rotq, opacity, shs = frame
+                    pkg = rasterize(
+                        xyz, scales, rotq, opacity[:, 0],
+                        shs * deg_mask[None, :, None], ds.camera,
+                        sh_degree=3, bg=self.bg_color,
+                        alive=buffers.alive > 0.5, backend="pallas",
+                        **self.raster_kw)
+                    return jnp.clip(pkg["render"], 0.0, 1.0)
+
+                return jax.lax.map(
+                    one, (out["xyz"], out["scales"], out["rotq"],
+                          out["opacity"], out["shs"]))
+
+            self._anim_render_j = jax.jit(render_chunk)
 
         t_start = time.time()
         frames_done = 0
         for start in range(0, num_frames, chunk_size):
             chunk = ds.get_chunk(start, start + chunk_size)
             b = chunk["body_pose"].shape[0]
-            out = avatar_forward_chunk(
-                self.params, self.buffers, self.avatar_cfg, self.template,
-                self.cache, gs_attrs,
-                global_orient=jnp.asarray(chunk["global_orient"]),
-                body_pose=jnp.asarray(chunk["body_pose"]),
-                betas=self.params.betas,
-                transl=jnp.asarray(chunk["transl"]),
-                smpl_scale=jnp.asarray(chunk["smpl_scale"]),
-                ext_tfs=tuple(jnp.asarray(x) for x in chunk["ext_tfs"]),
-            )
-            for j in range(b):
-                shs = out["shs"][j] * deg_mask[None, :, None]
-                pkg = rasterize(
-                    out["xyz"][j], out["scales"][j], out["rotq"][j],
-                    out["opacity"][j][:, 0], shs, ds.camera, sh_degree=3,
-                    bg=self.bg_color, alive=self.buffers.alive > 0.5,
-                    backend="pallas", **self.raster_kw)
-                img = np.asarray(jnp.clip(pkg["render"], 0, 1))
-                from PIL import Image
+            if b < chunk_size:  # pad to static shape, drop extras below
+                pad = chunk_size - b
+                chunk = {
+                    k: (tuple(np.concatenate(
+                        [x, np.repeat(x[-1:], pad, 0)]) for x in v)
+                        if isinstance(v, tuple)
+                        else np.concatenate([v, np.repeat(v[-1:], pad, 0)]))
+                    for k, v in chunk.items()
+                }
+            chunk_j = jax.tree.map(jnp.asarray, chunk)
+            imgs = np.asarray(self._anim_render_j(
+                self.params, self.buffers, gs_attrs, chunk_j,
+                jnp.asarray(self.active_sh_degree)))
+            from PIL import Image
 
+            for j in range(b):
                 Image.fromarray(
-                    (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+                    (imgs[j].transpose(1, 2, 0) * 255).astype(np.uint8)
                 ).save(os.path.join(out_dir, f"{start + j:05d}.jpg"))
                 frames_done += 1
         dt = time.time() - t_start
