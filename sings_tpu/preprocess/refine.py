@@ -67,6 +67,9 @@ class RefineConfig(NamedTuple):
     splat_opacity: float = 0.7
     optimize_betas: bool = False
     render_downscale: int = 4     # silhouettes at reduced resolution
+    batch_frames: int = 8         # frames per step (memory bound: each
+                                  # vmapped frame holds its own binning
+                                  # buffers; all-frames vmap OOMs HBM)
 
 
 def _silhouette(verts: jax.Array, camera: Camera, cfg: RefineConfig,
@@ -169,8 +172,10 @@ def refine_smpl(
         return (cfg.w_silhouette * l_sil + cfg.w_keypoints * l_kp
                 + cfg.w_prior * l_prior)
 
-    def total_loss(params):
-        losses = jax.vmap(lambda i: frame_loss(params, i))(jnp.arange(f))
+    def total_loss(params, rng):
+        nb = min(cfg.batch_frames, f)
+        idx = jax.random.choice(rng, f, (nb,), replace=False)
+        losses = jax.vmap(lambda i: frame_loss(params, i))(idx)
         return losses.mean()
 
     tx = optax.adam(cfg.lr)
@@ -183,15 +188,16 @@ def refine_smpl(
 
     @jax.jit
     def run(params, opt_state):
-        def step(carry, _):
+        def step(carry, rng):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(total_loss)(params)
+            loss, grads = jax.value_and_grad(total_loss)(params, rng)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
+        rngs = jax.random.split(jax.random.PRNGKey(0), cfg.steps)
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=cfg.steps)
+            step, (params, opt_state), rngs)
         return params, losses
 
     params, losses = run(params0, opt_state)
