@@ -106,15 +106,32 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
     ltri = _tri_strict(chunk)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
+    # double-buffered chunk DMA: prefetch c+1 while compositing c
+    def start_dma(c, slot):
+        off = pl.multiple_of(base + c * chunk, chunk)
+        pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(off, chunk)], fscratch.at[slot],
+            sem.at[slot],
+        ).start()
+
+    @pl.when(nchunks > 0)
+    def _():
+        start_dma(0, 0)
+
     def body(carry):
         c, t_carry, acc_r, acc_g, acc_b = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            start_dma(c + 1, (c + 1) % 2)
+
         off = pl.multiple_of(base + c * chunk, chunk)
-        dma = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(off, chunk)], fscratch, sem
-        )
-        dma.start()
-        dma.wait()
-        f = jnp.transpose(fscratch[:], (1, 0))  # (chunk, NFEAT)
+        pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(off, chunk)], fscratch.at[slot],
+            sem.at[slot],
+        ).wait()
+        f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
         pair_ok = (gidx >= start) & (gidx < end)
         alpha, _, _, _ = _chunk_alpha(f, px_x, px_y, pair_ok)
@@ -143,7 +160,18 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
         jnp.zeros((1, npx), jnp.float32),
         jnp.zeros((1, npx), jnp.float32),
     )
-    _, t_final, acc_r, acc_g, acc_b = jax.lax.while_loop(cond, body, init)
+    c_done, t_final, acc_r, acc_g, acc_b = jax.lax.while_loop(
+        cond, body, init)
+
+    # early exit can leave the next chunk's prefetch in flight — drain it
+    # so the semaphore/scratch are clean for the next grid step
+    @pl.when(c_done < nchunks)
+    def _():
+        off = pl.multiple_of(base + c_done * chunk, chunk)
+        pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(off, chunk)],
+            fscratch.at[c_done % 2], sem.at[c_done % 2],
+        ).wait()
 
     zeros = jnp.zeros((4, npx), jnp.float32)
     out_ref[0] = jnp.concatenate([acc_r, acc_g, acc_b, t_final, zeros], axis=0)
@@ -171,25 +199,41 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
     g_b = gout_ref[0, 2:3, :]
     g_t = gout_ref[0, 3:4, :]
 
-    def write_chunk(c):
-        odma = pltpu.make_async_copy(
-            gscratch,
+    def write_dma(c, slot):
+        return pltpu.make_async_copy(
+            gscratch.at[slot],
             grads_hbm.at[:, pl.ds(pl.multiple_of(gbase + c * chunk, chunk),
                                   chunk)],
-            osem,
+            osem.at[slot],
         )
-        odma.start()
-        odma.wait()
+
+    def read_dma(c, slot):
+        off = pl.multiple_of(base + c * chunk, chunk)
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(off, chunk)], fscratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        read_dma(0, 0).start()
 
     def body(carry):
         c, t_carry, cp_r, cp_g, cp_b = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            read_dma(c + 1, (c + 1) % 2).start()
+
+        read_dma(c, slot).wait()
+        # the write issued two chunks ago reused this gscratch slot
+        @pl.when(c >= 2)
+        def _():
+            write_dma(c - 2, slot).wait()
+
         off = pl.multiple_of(base + c * chunk, chunk)
-        dma = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(off, chunk)], fscratch, sem
-        )
-        dma.start()
-        dma.wait()
-        f = jnp.transpose(fscratch[:], (1, 0))  # (chunk, NFEAT)
+        f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
         pair_ok = (gidx >= start) & (gidx < end)
         alpha, gv, dx, dy = _chunk_alpha(f, px_x, px_y, pair_ok)
@@ -237,8 +281,8 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
             [d_mx, d_my, d_ca, d_cb, d_cc, d_r, d_g, d_b, dl_dop,
              zeros, zeros, zeros, zeros, zeros, zeros, zeros], axis=1
         )
-        gscratch[:] = jnp.transpose(gchunk, (1, 0))  # (NFEAT, chunk)
-        write_chunk(c)
+        gscratch[slot] = jnp.transpose(gchunk, (1, 0))  # (NFEAT, chunk)
+        write_dma(c, slot).start()
 
         cp_r = cp_r + jnp.sum(wr, axis=0, keepdims=True)
         cp_g = cp_g + jnp.sum(wg, axis=0, keepdims=True)
@@ -261,12 +305,28 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
     )
     c_done, *_ = jax.lax.while_loop(cond, body, init)
 
+    # drain outstanding DMAs (early exit can leave a read prefetch and
+    # up to two writes in flight)
+    @pl.when(c_done < nchunks)
+    def _():
+        read_dma(c_done, c_done % 2).wait()
+
+    @pl.when(c_done >= 1)
+    def _():
+        write_dma(c_done - 1, (c_done - 1) % 2).wait()
+
+    @pl.when(c_done >= 2)
+    def _():
+        write_dma(c_done - 2, (c_done - 2) % 2).wait()
+
     # early exit leaves later chunks unwritten; pairs there were never
     # composited (flags false) so their gradients are zero — flush zeros
-    gscratch[:] = jnp.zeros((NFEAT, chunk), jnp.float32)
+    gscratch[0] = jnp.zeros((NFEAT, chunk), jnp.float32)
 
     def zero_body(c, _):
-        write_chunk(c)
+        dma = write_dma(c, 0)
+        dma.start()
+        dma.wait()
         return 0
 
     jax.lax.fori_loop(c_done, nchunks, zero_body, 0)
@@ -295,8 +355,8 @@ def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
             (1, 8, npx), lambda t, offs: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NFEAT, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
@@ -338,10 +398,10 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NFEAT, chunk), jnp.float32),
-            pltpu.VMEM((NFEAT, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
