@@ -59,6 +59,10 @@ class AvatarConfig(NamedTuple):
     body_template: str = "smplh"
     triplane: TriplaneConfig = TriplaneConfig()
     decoder: DecoderConfig = DecoderConfig()
+    offset_clamp: float = 0.0     # >0: bound |xyz_offsets| via tanh —
+                                  # used with the synthetic template,
+                                  # where photometric mismatch otherwise
+                                  # drags gaussians off the anchor mesh
 
 
 class AvatarParams(NamedTuple):
@@ -225,7 +229,12 @@ def get_gs_attrs(
     scales = scales.at[:, -1].multiply(cfg.thickness_factor)
     scales = scales * buffers.scaling_multiplier
 
-    xyz_canon = params.xyz + geo["xyz_offsets"]
+    offsets = geo["xyz_offsets"]
+    if cfg.offset_clamp > 0:
+        offsets = cfg.offset_clamp * jnp.tanh(offsets / cfg.offset_clamp)
+        geo = dict(geo, xyz_offsets=offsets)
+
+    xyz_canon = params.xyz + offsets
     return {
         "xyz_canon": xyz_canon,
         "xyz_offsets": geo["xyz_offsets"],

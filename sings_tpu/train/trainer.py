@@ -155,6 +155,9 @@ class Trainer:
             body_template=hcfg.body_template,
             triplane=tri,
             decoder=dec,
+            offset_clamp=float(cfg.tpu.get(
+                "offset_clamp",
+                0.05 if self.tpl.name == "synthetic" else 0.0)),
         )
 
         betas = jnp.asarray(self.kit.smpl["betas"])
