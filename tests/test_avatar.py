@@ -137,3 +137,31 @@ def test_fit_initial_attrs_reduces_loss(setup):
     # opacity should move toward init_opacity=0.8 for live gaussians
     live_op = np.asarray(out["opacity"])[: tpl.num_verts]
     assert abs(live_op.mean() - 0.8) < 0.25
+
+
+def test_pose_gradients_through_render(setup):
+    """BASELINE config 2: LBS-posed render with pose gradients end-to-end."""
+    tpl, dt, cache, cfg, state = setup
+    from sings_tpu.ops.graphics import make_camera
+    from sings_tpu.ops.rasterizer.api import rasterize
+
+    cam = make_camera(np.eye(4), height=32, width=32, fovx=0.9, fovy=0.9)
+    kw = dict(tile=16, chunk=8, max_span=8, interpret=True)
+
+    def loss(body_pose, transl):
+        out = avatar_forward(
+            state.params, state.buffers, cfg, dt, cache,
+            global_orient=jnp.zeros(3), body_pose=body_pose,
+            betas=jnp.zeros(10), transl=transl, eval_mode=True)
+        pkg = rasterize(out["xyz"], out["scales"], out["rotq"],
+                        out["opacity"][:, 0], out["shs"], cam, sh_degree=3,
+                        bg=jnp.zeros(3), alive=state.buffers.alive > 0.5,
+                        backend="pallas", **kw)
+        return jnp.sum(pkg["render"] ** 2)
+
+    bp = jnp.asarray(predefined_pose("a_pose"))
+    tr = jnp.asarray([0.0, 0.25, 3.0])
+    g_bp, g_tr = jax.grad(loss, argnums=(0, 1))(bp, tr)
+    assert np.isfinite(np.asarray(g_bp)).all()
+    assert float(jnp.abs(g_bp).sum()) > 0
+    assert float(jnp.abs(g_tr).sum()) > 0
