@@ -19,12 +19,9 @@ overlaps with the backward walk.
 """
 from __future__ import annotations
 
-import functools
-import math
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -17,15 +17,13 @@ strip boundaries) stays on the single-chip path for now.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..model.avatar import AvatarConfig, AvatarParams, avatar_forward
+from ..model.avatar import AvatarConfig, avatar_forward
 from ..ops.graphics import Camera
 from ..ops.rasterizer.api import rasterize
 from .shard import camera_strip

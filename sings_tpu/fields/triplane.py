@@ -17,7 +17,6 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.sampling import grid_sample_2d
 

@@ -33,7 +33,7 @@ from ..fields.triplane import TriplaneConfig, init_triplane, triplane_features
 from ..kinematics.body_model import BodyTemplate
 from ..kinematics.lbs import lbs_extra
 from ..kinematics.template import (
-    CanonicalCache, DeviceTemplate, canonical_pose_cache, smpl_forward,
+    CanonicalCache, DeviceTemplate, smpl_forward,
 )
 from ..ops.rotations import (
     axis_angle_to_rotation_6d, matrix_to_quaternion, matrix_to_rotation_6d,

@@ -7,7 +7,6 @@ the FLOPs relative to the reference's 2D window.
 """
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

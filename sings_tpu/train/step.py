@@ -19,7 +19,7 @@ harvested from the same backward pass via the screen_probe passthrough
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from ..config.defaults import (
 from ..fields.decoders import DecoderConfig
 from ..fields.triplane import TriplaneConfig
 from ..kinematics.body_model import load_template
-from ..kinematics.poses import predefined_pose
 from ..kinematics.template import (
     DeviceTemplate, canonical_pose_cache,
 )
