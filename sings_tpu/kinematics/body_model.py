@@ -358,17 +358,38 @@ def subdivide_template(tpl: BodyTemplate, num_subdivide: int,
     )
 
 
+def load_vertex_labels(parsing_dir: str, num_verts: int) -> np.ndarray:
+    """SMPL vertex -> 15-region labels from the parsing JSONs
+    (reference smpl_parsing.get_vertex_label:22-32 +
+    data/human_models/smpl_parsing/*.json)."""
+    import json
+
+    with open(os.path.join(parsing_dir, "smpl_vert_segmentation.json")) as f:
+        region_vertex_map = json.load(f)
+    with open(os.path.join(parsing_dir, "label_region_map.json")) as f:
+        label_region_map = json.load(f)
+    v_label = -np.ones(num_verts, dtype=np.int64)
+    for label, regions in label_region_map.items():
+        for region in regions:
+            idx = [v for v in region_vertex_map[region] if v < num_verts]
+            v_label[idx] = int(label)
+    return v_label
+
+
 def load_template(
     model_dir: str | None,
     model_type: str = "smplh",
     num_betas: int = 10,
     n_subdivision: int = 0,
     vertex_label: np.ndarray | None = None,
+    parsing_dir: str | None =
+        "/root/reference/data/human_models/smpl_parsing",
 ) -> BodyTemplate:
     """Load a licensed SMPL(-H) model if present, else the synthetic one.
 
     model_dir is scanned for *.pkl / *.npz (the reference expects e.g.
-    data/human_models/smplh/SMPLH_MALE.pkl, constants.py:7-12).
+    data/human_models/smplh/SMPLH_MALE.pkl, constants.py:7-12). Real
+    models get their body-region labels from the parsing JSONs.
     """
     tpl = None
     if model_dir and os.path.isdir(model_dir):
@@ -380,6 +401,13 @@ def load_template(
                     break
                 except Exception:
                     continue
+    if tpl is not None and vertex_label is None and parsing_dir and \
+            os.path.isdir(parsing_dir):
+        try:
+            tpl = tpl._replace(vertex_label=load_vertex_labels(
+                parsing_dir, tpl.num_verts))
+        except Exception:
+            pass
     if tpl is None:
         tpl = synthetic_template(num_betas, hands=(model_type == "smplh"))
     if n_subdivision > 0:
