@@ -1,0 +1,61 @@
+"""Halo exchange for strip-sharded image losses.
+
+SSIM needs an 11x11 window; when the image is sharded into horizontal
+strips over the `gs` mesh axis, each rank fetches `halo` boundary rows
+from its neighbors with two ppermute shifts over ICI, computes the
+windowed loss on the padded strip, and crops back — the distributed
+result matches the full-image computation exactly except at the true
+image borders (where both use zero padding).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def halo_exchange_rows(x: jax.Array, axis_name: str, halo: int) -> jax.Array:
+    """Pad a (C, H_strip, W) strip with `halo` rows from its neighbors.
+
+    Must run inside shard_map with `axis_name` defined. Edge ranks get
+    zero padding (matching conv zero padding at image borders).
+    Returns (C, H_strip + 2*halo, W).
+    """
+    n = jax.lax.axis_size(axis_name)
+    top_rows = x[:, :halo]       # my first rows -> previous rank's bottom halo
+    bot_rows = x[:, -halo:]      # my last rows -> next rank's top halo
+
+    # receive from the previous rank (their bottom rows = my top halo)
+    from_prev = jax.lax.ppermute(
+        bot_rows, axis_name, [(i, i + 1) for i in range(n - 1)])
+    # receive from the next rank (their top rows = my bottom halo)
+    from_next = jax.lax.ppermute(
+        top_rows, axis_name, [(i + 1, i) for i in range(n - 1)])
+
+    return jnp.concatenate([from_prev, x, from_next], axis=1)
+
+
+def strip_ssim(pred: jax.Array, gt: jax.Array, axis_name: str,
+               window_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM of a strip-sharded image pair, exact vs the full image.
+
+    pred/gt: (C, H_strip, W) local strips. Computes on halo-padded
+    strips, crops the halo region, and pmean-weights by strip pixels so
+    the result equals single-device ssim(pred_full, gt_full).
+    """
+    from ..ops.ssim import _blur, _gaussian_window
+
+    halo = window_size // 2
+    p = halo_exchange_rows(pred, axis_name, halo)
+    g = halo_exchange_rows(gt, axis_name, halo)
+
+    win = jnp.asarray(_gaussian_window(window_size, sigma))
+    mu1, mu2 = _blur(p, win), _blur(g, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _blur(p * p, win) - mu1_sq
+    s2 = _blur(g * g, win) - mu2_sq
+    s12 = _blur(p * g, win) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    core = ssim_map[:, halo:-halo]  # this rank's rows only
+    return jax.lax.pmean(core.mean(), axis_name)

@@ -70,13 +70,27 @@ def make_sharded_train_step(
         mask = jax.lax.dynamic_slice_in_dim(frame["mask"], y0, strip_h,
                                             axis=0)
         gt = gt * mask[None] + bg[:, None, None] * (1 - mask[None])
-        l1 = jnp.abs(render - gt).sum() / jnp.maximum(mask.sum(), 1.0)
+        # masked L1 with global normalization (psum'd mask area) —
+        # equals the single-device masked_l1 over the full image
+        mask_area = jax.lax.psum(mask.sum(), "gs")
+        l1 = jax.lax.psum(jnp.abs(render - gt).sum(), "gs") / jnp.maximum(
+            mask_area, 1.0)
+        # exact distributed SSIM via halo exchange over ICI
+        from .halo import strip_ssim
+
+        ssim_val = strip_ssim(render, gt, "gs")
+        frac = mask_area / (frame["rgb"].shape[-1]
+                            * frame["rgb"].shape[-2])
+        loss_ssim = (1.0 - ssim_val) * frac
 
         alive = buffers.alive
         mean_s = (out["scales"][:, 0] * alive).sum() / alive.sum()
         reg = 0.005 * jnp.sqrt(
             jnp.sum(((out["scales"][:, 0] - mean_s) * alive) ** 2) + 1e-24)
-        return l1 + reg
+        # reg is computed redundantly on every gs rank; the caller psums
+        # gradients over gs, so scale it down to count once
+        reg = reg / jax.lax.axis_size("gs")
+        return 0.8 * l1 + 0.2 * loss_ssim + reg
 
     def per_device(params, buffers, cache, batch, rng):
         frame = jax.tree.map(lambda x: x[0], batch)
@@ -86,8 +100,13 @@ def make_sharded_train_step(
         loss, grads = jax.value_and_grad(
             lambda p: frame_loss(p, buffers, cache, frame, rngs, strip)
         )(params)
-        loss = jax.lax.pmean(loss, ("dp", "gs"))
-        grads = jax.lax.pmean(grads, ("dp", "gs"))
+        # the photometric terms are already globally reduced over "gs"
+        # inside frame_loss (psum/halo): the loss is gs-replicated and
+        # each rank holds the PARTIAL gradient of the full loss -> sum
+        # over gs, average over dp frames
+        loss = jax.lax.pmean(loss, "dp")
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jax.lax.psum(g, "gs"), "dp"), grads)
         return loss, grads
 
     sharded_grads = shard_map(

@@ -91,3 +91,26 @@ def test_sharded_grads_match_single_device():
     np.testing.assert_allclose(loss4, loss4b, rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(p4.xyz), np.asarray(p4b.xyz), atol=1e-7)
+
+
+def test_strip_ssim_matches_full():
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sings_tpu.dist.halo import strip_ssim
+    from sings_tpu.dist.shard import make_mesh
+    from sings_tpu.ops.ssim import ssim
+
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.rand(3, 64, 32).astype(np.float32))
+    gt = jnp.asarray(rng.rand(3, 64, 32).astype(np.float32))
+    full = float(ssim(pred, gt))
+
+    mesh = make_mesh(4, dp=1)  # gs=4 strips of 16 rows
+    fn = shard_map(
+        lambda p, g: strip_ssim(p, g, "gs"),
+        mesh=mesh, in_specs=(P(None, "gs", None), P(None, "gs", None)),
+        out_specs=P(), check_rep=False)
+    with mesh:
+        dist = float(fn(pred, gt))
+    np.testing.assert_allclose(dist, full, rtol=1e-5)
