@@ -68,8 +68,14 @@ def lr_schedules(cfg: LRConfig):
     }
 
 
-def make_optimizer(cfg: LRConfig, flags: TrainFlags):
-    """Adam(eps=1e-15) + per-field scheduled LR + trainability masks."""
+def make_optimizer(cfg: LRConfig, flags: TrainFlags,
+                   grad_clip_norm: float = 0.0):
+    """Adam(eps=1e-15) + per-field scheduled LR + trainability masks.
+
+    grad_clip_norm > 0 prepends global-norm clipping (no reference
+    equivalent — the reference trains unclipped; useful against the
+    loss spikes at density events when training the synthetic template).
+    """
     schedules = lr_schedules(cfg)
 
     def scale_by_group() -> optax.GradientTransformation:
@@ -99,10 +105,14 @@ def make_optimizer(cfg: LRConfig, flags: TrainFlags):
 
         return optax.GradientTransformation(init_fn, update_fn)
 
-    return optax.chain(
+    parts = []
+    if grad_clip_norm and grad_clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(grad_clip_norm))
+    parts += [
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
         scale_by_group(),
-    )
+    ]
+    return optax.chain(*parts)
 
 
 def zero_moments_for_slots(opt_state, slot_mask: jax.Array):

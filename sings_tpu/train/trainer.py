@@ -188,7 +188,9 @@ class Trainer:
         flags = TrainFlags(optim_pose=hcfg.optim_pose,
                            optim_betas=hcfg.optim_betas,
                            optim_trans=hcfg.optim_trans)
-        self.tx = make_optimizer(lr, flags)
+        self.tx = make_optimizer(
+            lr, flags,
+            grad_clip_norm=float(cfg.tpu.get("grad_clip_norm", 0.0) or 0.0))
         self.opt_state = self.tx.init(self.params)
 
         loss_cfg = hcfg.loss
@@ -216,6 +218,16 @@ class Trainer:
             opacity_norm_from=max(dc.prune_until_iter, dc.densify_until_iter),
         )
         self.lpips_params = get_lpips(cfg.tpu.lpips_weights, seed=cfg.seed)
+        if not self.lpips_params.pretrained and loss_cfg.lpips_w > 0:
+            # random-feature LPIPS is a usable perceptual signal but its
+            # gradient scale is uncalibrated — at the reference weight it
+            # overwhelms L1 and drives colors to saturation
+            factor = float(cfg.tpu.get("random_lpips_factor", 0.05))
+            print(f"[lpips] no pretrained weights: scaling lpips_w "
+                  f"{loss_cfg.lpips_w} -> {loss_cfg.lpips_w * factor}")
+            weights = weights._replace(photometric=weights.photometric._replace(
+                lpips=loss_cfg.lpips_w * factor))
+            step_cfg = step_cfg._replace(weights=weights)
         self.raster_kw = default_raster_kw(cfg, self.camera.height,
                                            self.camera.width)
         self.train_step_body = make_train_step(
