@@ -129,3 +129,19 @@ def test_vanilla_clone_split_prune():
     assert np.all(res.alive[20:30] == 0.0)
     # -5 split parents, -10 pruned, +5 clones (idx 5..9), +10 children
     assert res.num_alive == n - 5 - 10 + 5 + 10
+
+
+def test_densify_never_selects_hands():
+    tpl, buffers, xyz, fwd, n, c = make_state()
+    hand = np.isin(buffers["vertex_label"][:n], (6, 7))
+    assert hand.sum() > 0
+    # huge gradients EVERYWHERE incl. hands
+    buffers["xyz_grad_accum"][:n] = 1.0
+    res = densify_and_subdivide(
+        buffers, xyz, fwd, grad_threshold=0.001, scale_threshold=0.01,
+        max_screen_size=None, max_n_gs=c,
+        face_capacity=4 * c, edge_capacity=6 * c)
+    assert res.changed
+    # parents' scaling multipliers rescale only for selected (non-hand)
+    changed_mult = res.scaling_multiplier[:n, 0] != 1.0
+    assert not np.any(changed_mult & hand)
