@@ -77,16 +77,13 @@ def main():
                 tr.lap_pos_w, tr.lap_color_w)
             return m["loss"], p.xyz
 
-        t = device_time(fn, (batch["rgb"],), k1=2, k2=8)
+        t = device_time(fn, (batch["rgb"],), k1=1, k2=4, repeats=2)
         print(f"{name}: {t*1e3:.1f} ms/step", flush=True)
         return t
 
     full = variant("full step")
-    variant("no lpips", lpips=True)
-    variant("no ssim", ssim=True)
     variant("no knn-connect", knn=True)
-    variant("no laplacians", lap=True)
-    variant("no regularizers", reg=True)
+    variant("no regularizers (knn+laps+edge)", reg=True)
     variant("photometric off", photo=True)
     print("done; full =", full)
 
