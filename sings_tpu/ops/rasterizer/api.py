@@ -157,9 +157,10 @@ def rasterize(
 ) -> dict:
     """Differentiable gaussian splatting to an image.
 
-    Mirrors the reference render() contract (gs_renderer_single.py:45-107):
-    returns {'render' (3,H,W) clamped to [0,1] is NOT applied here,
-    'radii', 'visibility_filter', 'transmittance'}.
+    Mirrors the reference render() contract (gs_renderer_single.py:45-107)
+    and returns {'render' (3,H,W) UNCLAMPED (callers clip to [0,1] like
+    the reference wrapper does), 'radii', 'visibility_filter',
+    'transmittance', 'means2d'}.
 
     screen_probe: optional (N, 2) zeros; its gradient equals the CUDA
     viewspace_points.grad (NDC-convention screen gradients used by
