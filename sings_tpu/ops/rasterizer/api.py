@@ -120,9 +120,11 @@ def _composite_bwd(cfg, res, cot):
         interpret=cfg.interpret,
     )
     # zero the reserved spare slot (invalid pairs gather from it; the
-    # kernel never writes it)
-    pair_grads = pair_grads.at[:, -1].set(0.0).T  # (grad_cap, NFEAT)
-    pg = pair_grads[pair_slot].reshape(n, -1, NFEAT).sum(axis=1)
+    # kernel never writes it), keep only the 9 used gradient rows, and
+    # un-sort with one row gather (no float scatter)
+    n_used = 9
+    pair_grads = pair_grads.at[:, -1].set(0.0)[:n_used].T  # (grad_cap, 9)
+    pg = pair_grads[pair_slot].reshape(n, -1, n_used).sum(axis=1)
 
     d_means2d = pg[:, 0:2]
     d_conics = pg[:, 2:5]
