@@ -21,6 +21,9 @@ def main(argv=None):
 
     import jax
 
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     cache_dir = os.environ.get("SINGS_JAX_CACHE", "/root/jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -55,6 +55,9 @@ def main(argv=None):
 
     import jax
 
+    from ._platform import apply_platform_env
+
+    apply_platform_env()
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -63,6 +63,12 @@ class AvatarConfig(NamedTuple):
                                   # used with the synthetic template,
                                   # where photometric mismatch otherwise
                                   # drags gaussians off the anchor mesh
+    scale_clamp: float = 0.0      # >0: ceiling on decoded scales (m).
+                                  # The softplus decode is unbounded; a
+                                  # diverging run can push exp-scale
+                                  # gaussians over the whole screen and
+                                  # overflow the loss. min() keeps
+                                  # gradients exact below the ceiling.
 
 
 class AvatarParams(NamedTuple):
@@ -228,6 +234,8 @@ def get_gs_attrs(
     scales = geo["scales"]
     scales = scales.at[:, -1].multiply(cfg.thickness_factor)
     scales = scales * buffers.scaling_multiplier
+    if cfg.scale_clamp > 0:
+        scales = jnp.minimum(scales, cfg.scale_clamp)
 
     offsets = geo["xyz_offsets"]
     if cfg.offset_clamp > 0:

@@ -191,23 +191,38 @@ def make_train_step(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, probe0)
 
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # non-finite guard: a loss spike that overflows to inf/nan (e.g.
+        # right after a large densification) must not poison the
+        # parameters or the Adam moments — the whole update is skipped
+        # for that step. Costs one fused reduction; reported as
+        # metrics['skipped'].
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite &= jnp.all(jnp.isfinite(g))
+
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda a, b: jnp.where(finite, a, b), new, old)
+        params = keep(new_params, params)
+        opt_state = keep(new_opt_state, opt_state)
 
         # density-control statistics (gs_trainer.py:486-492,
         # sings_hybrid.py:1013-1015)
         visible = aux.pop("visible")
         radii = aux.pop("radii").astype(jnp.float32)
+        acc = visible & finite
         buffers = buffers._replace(
             max_radii2d=jnp.where(
-                visible, jnp.maximum(buffers.max_radii2d, radii),
+                acc, jnp.maximum(buffers.max_radii2d, radii),
                 buffers.max_radii2d),
             xyz_grad_accum=buffers.xyz_grad_accum + jnp.where(
-                visible, jnp.linalg.norm(probe_grad, axis=-1), 0.0),
-            grad_denom=buffers.grad_denom + visible.astype(jnp.float32),
+                acc, jnp.linalg.norm(probe_grad, axis=-1), 0.0),
+            grad_denom=buffers.grad_denom + acc.astype(jnp.float32),
         )
         render = aux.pop("render")
         metrics = {k: v for k, v in aux.items()}
+        metrics["skipped"] = (~finite).astype(jnp.float32)
         return params, buffers, opt_state, metrics, render
 
     return train_step_body

@@ -157,6 +157,9 @@ class Trainer:
             offset_clamp=float(cfg.tpu.get(
                 "offset_clamp",
                 0.05 if self.tpl.name == "synthetic" else 0.0)),
+            scale_clamp=float(cfg.tpu.get(
+                "scale_clamp",
+                0.05 if self.tpl.name == "synthetic" else 0.0)),
         )
 
         betas = jnp.asarray(self.kit.smpl["betas"])

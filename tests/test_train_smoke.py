@@ -114,6 +114,45 @@ def test_loss_decreases_overfit_one_frame(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
+def test_nonfinite_step_is_skipped(tmp_path):
+    """A batch that produces non-finite gradients (NaN pixels) must not
+    change params or Adam state (step.py non-finite guard)."""
+    import jax.numpy as jnp
+    import jax
+
+    from sings_tpu.train.trainer import Trainer
+
+    cfg = make_cfg(str(tmp_path), steps=2)
+    trainer = Trainer(cfg)
+    frame = trainer.kit.train_split[0]
+    batch = {
+        "rgb": trainer.images[frame] * jnp.nan,
+        "mask": trainer.masks[frame],
+        "idx": jnp.asarray(frame),
+        "smpl_scale": jnp.ones(1),
+    }
+    p0 = jax.tree.map(np.asarray, trainer.params)
+    body = jax.jit(trainer.train_step_body)
+    p, bu, opt, metrics, _ = body(
+        trainer.params, trainer.buffers, trainer.opt_state, trainer.cache,
+        batch, jax.random.PRNGKey(0), jnp.asarray(0), jnp.asarray(0),
+        trainer.region_lap, trainer.region_lap,
+        trainer.lap_pos_w, trainer.lap_color_w)
+    assert float(metrics["skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # a good batch on the same jitted body still updates
+    batch["rgb"] = trainer.images[frame]
+    p, bu, opt, metrics, _ = body(
+        trainer.params, trainer.buffers, trainer.opt_state, trainer.cache,
+        batch, jax.random.PRNGKey(0), jnp.asarray(0), jnp.asarray(0),
+        trainer.region_lap, trainer.region_lap,
+        trainer.lap_pos_w, trainer.lap_color_w)
+    assert float(metrics["skipped"]) == 0.0
+    assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
 def test_multi_step_scan_path(tmp_path):
     """inner_steps>1 fuses steps via lax.scan; must stay finite and
     advance the step counter correctly across event boundaries."""
