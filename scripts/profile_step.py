@@ -1,9 +1,11 @@
 """Ablation profile of the training step on TPU.
 
-Each variant zeroes one loss family (static weights -> XLA dead-code
-eliminates the subtree); the time delta attributes cost. ~8 min compile
-per variant through the remote-compile tunnel; results print as they
-come. Run AFTER any training process has finished (single TPU).
+Each variant zeroes one loss family; make_train_step drops zero-weight
+terms at trace time (a python gate — `0.0 * x` is NOT foldable by XLA
+since 0*inf=nan), so the time delta attributes the family's true cost.
+~8 min compile per variant through the remote-compile tunnel; results
+print as they come. Run AFTER any training process has finished
+(single TPU).
 """
 import time
 

@@ -64,13 +64,18 @@ def l2_norm_loss(
 
 
 def gaussians_edge_loss(
-    xyz_canon: jax.Array, scales: jax.Array, alive: jax.Array, k: int = 9
+    xyz_canon: jax.Array, scales: jax.Array, alive: jax.Array, k: int = 9,
+    approx: bool = True,
 ) -> jax.Array:
     """mean (scale_i - mean KNN edge length)^2 (loss_items.py:57-90).
 
-    KNN edge lengths are treated as constants (reference .detach()).
+    KNN edge lengths are treated as constants (reference .detach()), so
+    the TPU hardware approximate top-k (recall ~0.95) is used by
+    default: the mean-of-9-neighbors statistic is insensitive to an
+    occasional rank swap, and it is ~10x cheaper than exact top_k over
+    the padded capacity.
     """
-    dists, idx = knn(xyz_canon, k, valid=alive > 0)
+    dists, idx = knn(xyz_canon, k, valid=alive > 0, approx=approx)
     # idx[:, 0] is self; mean over the K-1 neighbors
     edge_len = jax.lax.stop_gradient(
         jnp.sqrt(jnp.maximum(dists[:, 1:], 1e-24)).mean(axis=1)

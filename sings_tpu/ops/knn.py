@@ -14,9 +14,9 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
+@functools.partial(jax.jit, static_argnames=("k", "block", "approx"))
 def knn(points: jax.Array, k: int, *, valid: jax.Array | None = None,
-        block: int = 4096):
+        block: int = 4096, approx: bool = False):
     """K nearest neighbors of each point among all points (self included).
 
     Args:
@@ -25,6 +25,12 @@ def knn(points: jax.Array, k: int, *, valid: jax.Array | None = None,
       valid: optional (N,) bool; invalid points are excluded as neighbors
              (their distances become +inf) — used with padded buffers.
       block: query block size.
+      approx: use the TPU's hardware-accelerated approximate top-k
+              (lax.approx_min_k, recall ~0.95) instead of an exact
+              lax.top_k — several times faster over wide rows; on
+              backends without the PartialReduce op it falls back to
+              exact. Use for statistics (e.g. the KNN edge-length
+              regularizer), not for exact neighbor sets.
     Returns: (dists, idx) both (N, k) — squared distances, ascending.
     """
     n = points.shape[0]
@@ -38,6 +44,8 @@ def knn(points: jax.Array, k: int, *, valid: jax.Array | None = None,
         d2 = qsq[:, None] + sq[None, :] - 2.0 * cross
         if valid is not None:
             d2 = jnp.where(valid[None, :], d2, big)
+        if approx:
+            return jax.lax.approx_min_k(d2, k, recall_target=0.95)
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx
 

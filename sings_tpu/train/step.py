@@ -139,6 +139,10 @@ def make_train_step(
             )
 
             alive = buffers.alive
+            # Zero-weight terms are dropped at TRACE time: `0.0 * x`
+            # cannot be folded by XLA (0*inf is nan), so without the
+            # python gate a disabled term still costs its full subtree.
+            zero = jnp.float32(0.0)
             # reference: the opacity norm term joins only after density
             # control ends (gs_trainer.py:356-360)
             use_op_norm = step >= step_cfg.opacity_norm_from
@@ -148,26 +152,28 @@ def make_train_step(
                                      None, alive)
             reg = jnp.where(use_op_norm, reg_with_op, reg_no_op)
 
-            edge = w.mesh_edge * mesh_edge_loss(
+            edge = zero if w.mesh_edge == 0 else w.mesh_edge * mesh_edge_loss(
                 jax.lax.stop_gradient(out["xyz_canon"]), buffers.edges,
                 buffers.edge_valid)
-            connect = w.gaussian_connect * gaussians_edge_loss(
-                jax.lax.stop_gradient(out["xyz_canon"]),
-                out["scales"], alive, k=step_cfg.knn_k)
+            connect = zero if w.gaussian_connect == 0 else (
+                w.gaussian_connect * gaussians_edge_loss(
+                    jax.lax.stop_gradient(out["xyz_canon"]),
+                    out["scales"], alive, k=step_cfg.knn_k))
 
-            lap_pos = region_lap_pos.loss(out["xyz_anchor_canon"], lap_pos_w)
-            lap_color = region_lap_color.loss(out["shs"][:, 0], lap_color_w)
+            lap_pos = (region_lap_pos.loss(out["xyz_anchor_canon"], lap_pos_w)
+                       if w.lap_position_strength != 0 else zero)
+            lap_color = (region_lap_color.loss(out["shs"][:, 0], lap_color_w)
+                         if w.lap_color_strength != 0 else zero)
             ramp = jnp.clip(
                 (step - w.lap_impose_from) / max(w.lap_impose_from, 1), 0, 1)
             alpha = w.lap_position_strength * ramp * jnp.where(
                 step > w.lap_double_after, 2.0, 1.0)
             lap_pos_loss = alpha * lap_pos
             lap_color_loss = w.lap_color_strength * lap_color
-            hand_lap = w.hand_lap_weight * w.hand_strength * (
-                region_lap_pos.loss(
+            hand_lap = zero if w.hand_lap_weight * w.hand_strength == 0 else (
+                w.hand_lap_weight * w.hand_strength * region_lap_pos.loss(
                     out["xyz_canon"],
-                    jnp.ones_like(lap_pos_w), regions=[6, 7])
-            )
+                    jnp.ones_like(lap_pos_w), regions=[6, 7]))
 
             total = (photo + reg + edge + connect + lap_pos_loss
                      + lap_color_loss + hand_lap)
