@@ -25,6 +25,19 @@ def t(name, fn, *args):
     print(f"{name}: {ms:.2f} ms", flush=True)
 
 
+from sings_tpu.losses.regularizers import build_region_laplacian  # noqa: E402
+
+labels = rng.randint(0, 15, C)
+labels[25600:] = -1
+tri = np.sort(rng.randint(0, 25600, (C * 2, 2)), 1)
+tri = np.unique(tri[tri[:, 0] != tri[:, 1]], axis=0)
+rl = build_region_laplacian(tri, labels, np.ones(15, np.float32))
+print(f"lap table: {rl.neighbors.shape}", flush=True)
+wr = jnp.ones(15)
+t("region laplacian fwd+bwd (x3 applies)",
+  jax.grad(lambda x: rl.loss(x, wr) + rl.loss(x * 2, wr)
+           + rl.loss(x, wr, regions=[6, 7])), xyz)
+
 t("knn edge loss fwd (exact)",
   lambda x, s: gaussians_edge_loss(x, s, alive, k=9, approx=False),
   xyz, scales)

@@ -93,39 +93,48 @@ def mesh_edge_loss(verts: jax.Array, edges: jax.Array,
 
 
 class RegionLaplacian(NamedTuple):
-    """Precomputed padded uniform laplacians, one per body region.
+    """Precomputed padded uniform laplacian over ALL regions at once.
 
-    For region r, row i of L is: L[i,i] = -1, L[i,j] = 1/deg(i) for
-    neighbors j (pytorch3d.ops.laplacian convention). We store the
-    neighbor list padded to max degree:
-      neighbors: (R, Vmax, D) int32 indices into the global vertex array
-      nbr_valid: (R, Vmax, D) float 0/1
-      verts_idx: (R, Vmax) int32 global index of each region vertex
-      vert_valid: (R, Vmax) float 0/1
-      weights: (R,) float region weights
+    Same math as the reference's per-region loop
+    (loss_items.py:123-192: for region r, row i of L_r is L[i,i] = -1,
+    L[i,j] = 1/deg(i) for same-label neighbors j), but stored as ONE
+    global neighbor table indexed by vertex slot — every vertex belongs
+    to exactly one region, so a per-region layout only adds padding
+    (the 15-iteration gather loop cost ~50 ms/step; this is one gather
+    pass) and its shapes depend on the biggest region. Here shapes are
+    (capacity, Dmax): stable across topology changes except for rare
+    max-degree growth.
+
+      neighbors: (C, D) int32 same-region neighbor slots (self-padded)
+      nbr_valid: (C, D) float 0/1
+      label:     (C,) int32 region id, 0 where invalid
+      vert_valid:(C,) float 1 for labeled live vertices
+      inv_count: (R,) float 1 / max(|V_r|, 1)
+      weights:   (R,) float region weights
     """
 
     neighbors: jax.Array
     nbr_valid: jax.Array
-    verts_idx: jax.Array
+    label: jax.Array
     vert_valid: jax.Array
+    inv_count: jax.Array
     weights: jax.Array
 
     def loss(self, x: jax.Array, region_weights: jax.Array | None = None,
              regions: list[int] | None = None) -> jax.Array:
         """sum_r w_r * mean((L_r x_r)^2) (loss_items.py:183-192)."""
         w = self.weights if region_weights is None else region_weights
-        total = 0.0
-        r_iter = range(self.verts_idx.shape[0]) if regions is None else regions
-        for r in r_iter:
-            xi = x[self.verts_idx[r]]                       # (Vmax, C)
-            xn = x[self.neighbors[r]]                       # (Vmax, D, C)
-            deg = jnp.maximum(self.nbr_valid[r].sum(-1), 1.0)  # (Vmax,)
-            lx = (xn * self.nbr_valid[r][..., None]).sum(1) / deg[:, None] - xi
-            lx = lx * self.vert_valid[r][:, None]
-            n = jnp.maximum(self.vert_valid[r].sum() * x.shape[-1], 1.0)
-            total = total + w[r] * jnp.sum(lx * lx) / n
-        return total
+        xn = x[self.neighbors]                              # (C, D, F)
+        deg = jnp.maximum(self.nbr_valid.sum(-1), 1.0)      # (C,)
+        lx = (xn * self.nbr_valid[..., None]).sum(1) / deg[:, None] - x
+        per_v = jnp.sum(lx * lx, axis=-1) * self.vert_valid  # (C,)
+        wv = (w * self.inv_count)[self.label] / x.shape[-1]
+        if regions is not None:
+            sel = jnp.zeros(self.label.shape, bool)
+            for r in regions:
+                sel = sel | (self.label == r)
+            wv = wv * sel.astype(x.dtype)
+        return jnp.sum(per_v * wv)
 
 
 def build_region_laplacian(
@@ -136,39 +145,44 @@ def build_region_laplacian(
     pad_to: int | None = None,
 ) -> RegionLaplacian:
     """Host-side construction after every topology change
-    (loss_items.py:123-169: per-region subgraph of same-label edges)."""
-    labels = np.asarray(vertex_label)
+    (loss_items.py:123-169: per-region subgraph of same-label edges).
+
+    pad_to: minimum neighbor-table width D (grow-only callers keep it
+    fixed so the compiled step is reused across topology changes).
+    """
+    labels = np.asarray(vertex_label).astype(np.int64)
     edges = np.asarray(edges)
+    c = labels.shape[0]
+
+    in_region = (labels >= 0) & (labels < num_regions)
     edge_lbl = labels[edges]
+    same = (edge_lbl[:, 0] == edge_lbl[:, 1]) & in_region[edges[:, 0]]
+    sel = edges[same]
 
-    region_data = []
-    vmax, dmax = 1, 1
-    for r in range(num_regions):
-        vs = np.where(labels == r)[0]
-        sel = edges[(edge_lbl[:, 0] == r) & (edge_lbl[:, 1] == r)]
-        adj: dict[int, list[int]] = {int(v): [] for v in vs}
-        for a, b in sel:
-            adj[int(a)].append(int(b))
-            adj[int(b)].append(int(a))
-        region_data.append((vs, adj))
-        vmax = max(vmax, len(vs))
-        dmax = max(dmax, max((len(v) for v in adj.values()), default=1))
+    # CSR-style neighbor table via one sort (both edge directions)
+    src = np.concatenate([sel[:, 0], sel[:, 1]])
+    dst = np.concatenate([sel[:, 1], sel[:, 0]])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    deg = np.bincount(src, minlength=c)
+    dmax = max(int(deg.max()) if len(src) else 1, 1)
     if pad_to is not None:
-        vmax = max(vmax, pad_to)
+        dmax = max(dmax, pad_to)
+    offs = np.zeros(c + 1, np.int64)
+    np.cumsum(deg, out=offs[1:])
+    col = np.arange(len(src)) - offs[src]
 
-    nb = np.zeros((num_regions, vmax, dmax), np.int32)
-    nv = np.zeros((num_regions, vmax, dmax), np.float32)
-    vi = np.zeros((num_regions, vmax), np.int32)
-    vv = np.zeros((num_regions, vmax), np.float32)
-    for r, (vs, adj) in enumerate(region_data):
-        vi[r, : len(vs)] = vs
-        vv[r, : len(vs)] = 1.0
-        for i, v in enumerate(vs):
-            ns = adj[int(v)]
-            nb[r, i, : len(ns)] = ns
-            nv[r, i, : len(ns)] = 1.0
+    nb = np.tile(np.arange(c, dtype=np.int32)[:, None], (1, dmax))
+    nv = np.zeros((c, dmax), np.float32)
+    nb[src, col] = dst.astype(np.int32)
+    nv[src, col] = 1.0
+
+    counts = np.bincount(labels[in_region], minlength=num_regions)
     return RegionLaplacian(
         neighbors=jnp.asarray(nb), nbr_valid=jnp.asarray(nv),
-        verts_idx=jnp.asarray(vi), vert_valid=jnp.asarray(vv),
+        label=jnp.asarray(np.where(in_region, labels, 0).astype(np.int32)),
+        vert_valid=jnp.asarray(in_region.astype(np.float32)),
+        inv_count=jnp.asarray(
+            (1.0 / np.maximum(counts, 1)).astype(np.float32)),
         weights=jnp.asarray(region_weights.astype(np.float32)),
     )

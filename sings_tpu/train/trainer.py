@@ -320,19 +320,17 @@ class Trainer:
     def _rebuild_laplacians(self):
         b = self.buffers
         edges = np.asarray(b.edges)[np.asarray(b.edge_valid) > 0.5]
-        labels = np.asarray(b.vertex_label)
-        # pad regions to the largest current region + growth margin;
-        # grow-only so the padded shapes (and the compiled step) stay
-        # stable across most topology changes
-        biggest = max(
-            int((labels == r).sum()) for r in range(15)) if len(labels) else 1
-        want = min(_round_up(int(biggest * 1.5) + 256, 256),
-                   int(self.avatar_cfg.capacity))
-        if self._lap_pad is None or want > self._lap_pad:
-            self._lap_pad = want
+        # dead slots keep their last label in the buffer; exclude them so
+        # pruned vertices don't enter the laplacian as isolated rows
+        labels = np.where(np.asarray(b.alive) > 0.5,
+                          np.asarray(b.vertex_label), -1)
+        # grow-only neighbor-table width so the padded shapes (and the
+        # compiled step) stay stable across most topology changes
         self.region_lap = build_region_laplacian(
             edges, labels, np.asarray(self.lap_pos_w), num_regions=15,
-            pad_to=self._lap_pad)
+            pad_to=self._lap_pad or 8)
+        self._lap_pad = max(self._lap_pad or 8,
+                            self.region_lap.neighbors.shape[1])
 
     # ------------------------------------------------------------------
     def train(self):

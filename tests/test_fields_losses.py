@@ -122,6 +122,42 @@ def test_region_laplacian_flat_is_zero():
     assert float(rl.loss(x_bent)) > val
 
 
+def test_region_laplacian_matches_naive_reference():
+    """Global padded table == naive per-region loop
+    (reference loss_items.py:123-192 semantics)."""
+    rng = np.random.RandomState(3)
+    c, r_num = 60, 4
+    labels = rng.randint(-1, r_num, c)  # -1 = unlabeled slots
+    edges = np.unique(np.sort(rng.randint(0, c, (120, 2)), 1), axis=0)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    w = rng.rand(r_num).astype(np.float32)
+    x = rng.randn(c, 3).astype(np.float32)
+
+    rl = build_region_laplacian(edges, labels, w, num_regions=r_num)
+    got = float(rl.loss(jnp.asarray(x), jnp.asarray(w)))
+    got_sub = float(rl.loss(jnp.asarray(x), jnp.asarray(w), regions=[1, 2]))
+
+    expect = expect_sub = 0.0
+    el = labels[edges]
+    for r in range(r_num):
+        vs = np.where(labels == r)[0]
+        if len(vs) == 0:
+            continue
+        sel = edges[(el[:, 0] == r) & (el[:, 1] == r)]
+        total = 0.0
+        for v in vs:
+            nbrs = np.concatenate([sel[sel[:, 0] == v][:, 1],
+                                   sel[sel[:, 1] == v][:, 0]])
+            mean = x[nbrs].mean(0) if len(nbrs) else np.zeros(3)
+            total += float(((mean - x[v]) ** 2).sum())
+        term = w[r] * total / (len(vs) * 3)
+        expect += term
+        if r in (1, 2):
+            expect_sub += term
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    np.testing.assert_allclose(got_sub, expect_sub, rtol=1e-5)
+
+
 def test_patch_sampler_inside_mask():
     rng = jax.random.PRNGKey(0)
     mask = jnp.zeros((64, 64)).at[20:44, 20:44].set(1.0)
