@@ -259,11 +259,12 @@ def make_train_scan(train_step_inner):
                 params, buffers, opt_state, cache, batch, rng,
                 step0 + i, active_sh_degree, region_lap_pos,
                 region_lap_color, lap_pos_w, lap_color_w)
-            return (params, buffers, opt_state, i + 1), metrics["loss"]
+            return (params, buffers, opt_state, i + 1), (
+                metrics["loss"], metrics["skipped"])
 
-        (params, buffers, opt_state, _), losses = jax.lax.scan(
+        (params, buffers, opt_state, _), (losses, skipped) = jax.lax.scan(
             body, (params, buffers, opt_state, jnp.int32(0)),
             (batches, rngs))
-        return params, buffers, opt_state, losses
+        return params, buffers, opt_state, losses, skipped
 
     return scan_steps

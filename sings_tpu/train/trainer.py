@@ -77,6 +77,9 @@ class Trainer:
             self.logdir, "ckpt")
         for sub in ("", "ckpt", "val", "train", "anim", "meshes", "canon"):
             os.makedirs(os.path.join(self.logdir, sub), exist_ok=True)
+        # per-run log file (reference train_avatar.py:18-52 get_logger)
+        from .logging_util import install_run_log
+        install_run_log(self.logdir, mode)
 
         self.bg_color = (jnp.ones(3) if cfg.bg_color == "white"
                          else jnp.zeros(3))
@@ -379,6 +382,9 @@ class Trainer:
                     self.lap_pos_w, self.lap_color_w,
                 )
                 last_loss = metrics["loss"]
+                if float(metrics["skipped"]) > 0:
+                    print(f"[{t_iter}] WARNING: non-finite gradients, "
+                          "update skipped")
             else:
                 idxs = jnp.asarray(frames)
                 batches = {
@@ -389,7 +395,7 @@ class Trainer:
                 }
                 rngs = jax.random.split(key, k)
                 (self.params, self.buffers, self.opt_state,
-                 losses) = self.train_scan(
+                 losses, skipped) = self.train_scan(
                     self.params, self.buffers, self.opt_state, self.cache,
                     batches, rngs, jnp.asarray(t_iter),
                     jnp.asarray(self.active_sh_degree),
@@ -397,6 +403,10 @@ class Trainer:
                     self.lap_pos_w, self.lap_color_w,
                 )
                 last_loss = losses[-1]
+                n_skip = float(jnp.sum(skipped))
+                if n_skip > 0:
+                    print(f"[{t_iter}] WARNING: {int(n_skip)}/{k} steps had "
+                          "non-finite gradients, updates skipped")
                 render = None
 
             steps_since_log += k
