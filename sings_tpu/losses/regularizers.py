@@ -92,6 +92,34 @@ def mesh_edge_loss(verts: jax.Array, edges: jax.Array,
     return sq.sum() / jnp.maximum(edge_valid.sum(), 1.0)
 
 
+@jax.custom_vjp
+def _neighbor_mean(nb, nv, x):
+    """y_i = mean over valid neighbors j of x_j  (one gather pass).
+
+    Custom VJP: the graph is undirected, so the adjoint scatter-add
+    (A^T g with A row-normalized) is ANOTHER gather over the same
+    table: gx_j = sum_{i in N(j)} g_i / deg_i. TPU scatter-adds are
+    several times slower than gathers of the same volume.
+    """
+    deg = jnp.maximum(nv.sum(-1), 1.0)
+    return (x[nb] * nv[..., None]).sum(1) / deg[:, None]
+
+
+def _neighbor_mean_fwd(nb, nv, x):
+    return _neighbor_mean(nb, nv, x), (nb, nv)
+
+
+def _neighbor_mean_bwd(res, g):
+    nb, nv = res
+    deg = jnp.maximum(nv.sum(-1), 1.0)
+    gd = g / deg[:, None]
+    gx = (gd[nb] * nv[..., None]).sum(1)
+    return jnp.zeros_like(nb), jnp.zeros_like(nv), gx
+
+
+_neighbor_mean.defvjp(_neighbor_mean_fwd, _neighbor_mean_bwd)
+
+
 class RegionLaplacian(NamedTuple):
     """Precomputed padded uniform laplacian over ALL regions at once.
 
@@ -123,18 +151,36 @@ class RegionLaplacian(NamedTuple):
     def loss(self, x: jax.Array, region_weights: jax.Array | None = None,
              regions: list[int] | None = None) -> jax.Array:
         """sum_r w_r * mean((L_r x_r)^2) (loss_items.py:183-192)."""
-        w = self.weights if region_weights is None else region_weights
-        xn = x[self.neighbors]                              # (C, D, F)
-        deg = jnp.maximum(self.nbr_valid.sum(-1), 1.0)      # (C,)
-        lx = (xn * self.nbr_valid[..., None]).sum(1) / deg[:, None] - x
-        per_v = jnp.sum(lx * lx, axis=-1) * self.vert_valid  # (C,)
-        wv = (w * self.inv_count)[self.label] / x.shape[-1]
-        if regions is not None:
-            sel = jnp.zeros(self.label.shape, bool)
-            for r in regions:
-                sel = sel | (self.label == r)
-            wv = wv * sel.astype(x.dtype)
-        return jnp.sum(per_v * wv)
+        (out,) = self.loss_fused([(x, region_weights, regions)])
+        return out
+
+    def loss_fused(self, terms) -> list[jax.Array]:
+        """Several laplacian losses with ONE neighbor gather.
+
+        terms: list of (x (C, F), region_weights | None, regions | None).
+        The per-step trainer applies the laplacian to three different
+        signals (anchor positions, SH dc color, hand positions); row
+        gathers cost per ROW on TPU, so concatenating the feature axes
+        runs all of them for the price of one.
+        """
+        xcat = jnp.concatenate([t[0] for t in terms], axis=-1)
+        lx = _neighbor_mean(self.neighbors, self.nbr_valid, xcat) - xcat
+        outs = []
+        f0 = 0
+        for x, region_weights, regions in terms:
+            f = x.shape[-1]
+            lxi = lx[:, f0: f0 + f]
+            f0 += f
+            per_v = jnp.sum(lxi * lxi, axis=-1) * self.vert_valid  # (C,)
+            w = self.weights if region_weights is None else region_weights
+            wv = (w * self.inv_count)[self.label] / f
+            if regions is not None:
+                sel = jnp.zeros(self.label.shape, bool)
+                for r in regions:
+                    sel = sel | (self.label == r)
+                wv = wv * sel.astype(x.dtype)
+            outs.append(jnp.sum(per_v * wv))
+        return outs
 
 
 def build_region_laplacian(

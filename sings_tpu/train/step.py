@@ -160,8 +160,20 @@ def make_train_step(
                     jax.lax.stop_gradient(out["xyz_canon"]),
                     out["scales"], alive, k=step_cfg.knn_k))
 
-            lap_pos = (region_lap_pos.loss(out["xyz_anchor_canon"], lap_pos_w)
-                       if w.lap_position_strength != 0 else zero)
+            # position + hand laplacians share region_lap_pos's table:
+            # fuse them into one neighbor gather (loss_fused)
+            pos_terms = []
+            if w.lap_position_strength != 0:
+                pos_terms.append((out["xyz_anchor_canon"], lap_pos_w, None))
+            if w.hand_lap_weight * w.hand_strength != 0:
+                pos_terms.append((out["xyz_canon"],
+                                  jnp.ones_like(lap_pos_w), [6, 7]))
+            fused = (region_lap_pos.loss_fused(pos_terms) if pos_terms
+                     else [])
+            lap_pos = (fused.pop(0) if w.lap_position_strength != 0
+                       else zero)
+            hand_raw = fused.pop(0) if w.hand_lap_weight * w.hand_strength \
+                != 0 else zero
             lap_color = (region_lap_color.loss(out["shs"][:, 0], lap_color_w)
                          if w.lap_color_strength != 0 else zero)
             ramp = jnp.clip(
@@ -170,10 +182,7 @@ def make_train_step(
                 step > w.lap_double_after, 2.0, 1.0)
             lap_pos_loss = alpha * lap_pos
             lap_color_loss = w.lap_color_strength * lap_color
-            hand_lap = zero if w.hand_lap_weight * w.hand_strength == 0 else (
-                w.hand_lap_weight * w.hand_strength * region_lap_pos.loss(
-                    out["xyz_canon"],
-                    jnp.ones_like(lap_pos_w), regions=[6, 7]))
+            hand_lap = w.hand_lap_weight * w.hand_strength * hand_raw
 
             total = (photo + reg + edge + connect + lap_pos_loss
                      + lap_color_loss + hand_lap)

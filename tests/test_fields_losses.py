@@ -158,6 +158,39 @@ def test_region_laplacian_matches_naive_reference():
     np.testing.assert_allclose(got_sub, expect_sub, rtol=1e-5)
 
 
+def test_region_laplacian_custom_vjp_grads():
+    """Backward-as-gather (custom VJP over the undirected table) must
+    equal plain autodiff of the same math."""
+    rng = np.random.RandomState(5)
+    c = 40
+    labels = rng.randint(0, 3, c)
+    edges = np.unique(np.sort(rng.randint(0, c, (80, 2)), 1), axis=0)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    w = jnp.asarray(rng.rand(3).astype(np.float32))
+    x = jnp.asarray(rng.randn(c, 3).astype(np.float32))
+    rl = build_region_laplacian(edges, labels, np.ones(3, np.float32),
+                                num_regions=3)
+
+    def plain(x):
+        deg = jnp.maximum(rl.nbr_valid.sum(-1), 1.0)
+        lx = (x[rl.neighbors] * rl.nbr_valid[..., None]).sum(1) \
+            / deg[:, None] - x
+        per_v = jnp.sum(lx * lx, -1) * rl.vert_valid
+        wv = (w * rl.inv_count)[rl.label] / 3
+        return jnp.sum(per_v * wv)
+
+    g_plain = jax.grad(plain)(x)
+    g_custom = jax.grad(lambda x: rl.loss(x, w))(x)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-6)
+    # fused multi-term == separate calls
+    y = jnp.asarray(rng.randn(c, 3).astype(np.float32))
+    a, b = rl.loss_fused([(x, w, None), (y, w, [1])])
+    np.testing.assert_allclose(float(a), float(rl.loss(x, w)), rtol=1e-6)
+    np.testing.assert_allclose(float(b), float(rl.loss(y, w, regions=[1])),
+                               rtol=1e-6)
+
+
 def test_patch_sampler_inside_mask():
     rng = jax.random.PRNGKey(0)
     mask = jnp.zeros((64, 64)).at[20:44, 20:44].set(1.0)
