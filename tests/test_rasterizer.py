@@ -128,6 +128,38 @@ def test_saturated_pixels_terminate_consistently():
     assert float(pal["transmittance"].min()) < 1e-3
 
 
+def test_rasterize_multi_matches_manual_concat():
+    """Two avatars through rasterize_multi == one rasterize over the
+    manually concatenated gaussians (reference gs_renderer_multiple
+    contract: correct global depth order across avatars)."""
+    from sings_tpu.ops.rasterizer.multi import rasterize_multi
+
+    cam, m1, s1, q1, o1, f1, bg = make_scene(n=30, seed=1)
+    _, m2, s2, q2, o2, f2, _ = make_scene(n=25, seed=2)
+    t2 = jnp.array([0.3, -0.1, 0.5])
+    outs = [
+        {"xyz": m1, "scales": s1, "rotq": q1, "opacity": o1, "shs": f1},
+        {"xyz": m2, "scales": s2, "rotq": q2, "opacity": o2, "shs": f2},
+    ]
+    multi = rasterize_multi(outs, cam, translations=[jnp.zeros(3), t2],
+                            bg=bg, sh_degree=0, **KW)
+    single = rasterize(
+        jnp.concatenate([m1, m2 + t2]), jnp.concatenate([s1, s2]),
+        jnp.concatenate([q1, q2]), jnp.concatenate([o1, o2]),
+        jnp.concatenate([f1, f2]), cam, sh_degree=0, bg=bg,
+        backend="pallas", **KW)
+    np.testing.assert_allclose(np.asarray(multi["render"]),
+                               np.asarray(single["render"]), atol=1e-6)
+    # and the reference compositor agrees (global depth order holds)
+    ref = rasterize(
+        jnp.concatenate([m1, m2 + t2]), jnp.concatenate([s1, s2]),
+        jnp.concatenate([q1, q2]), jnp.concatenate([o1, o2]),
+        jnp.concatenate([f1, f2]), cam, sh_degree=0, bg=bg,
+        backend="reference")
+    np.testing.assert_allclose(np.asarray(multi["render"]),
+                               np.asarray(ref["render"]), atol=2e-5)
+
+
 def test_finite_difference_gradients():
     """Central finite differences vs the custom-VJP gradients on a tiny
     scene (SURVEY section 4 / BASELINE config 1).
