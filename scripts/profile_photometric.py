@@ -47,18 +47,6 @@ t("lpips 8x128^2 fwd+bwd (f32)",
   jax.grad(lpips_loss), patches[0], patches[1])
 
 
-def lpips_bf16(p, g):
-    pb = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, params)
-    return lpips_distance(
-        pb, p.clip(max=1.0).astype(jnp.bfloat16), g.astype(jnp.bfloat16)
-    ).astype(jnp.float32).mean()
-
-
-t("lpips 8x128^2 fwd+bwd (bf16)",
-  jax.grad(lpips_bf16), patches[0], patches[1])
-
 t("patch sampling alone",
   lambda m: sample_patches(key, m, (pred, gt))[0], mask)
 

@@ -42,18 +42,23 @@ def strip_ssim(pred: jax.Array, gt: jax.Array, axis_name: str,
     strips, crops the halo region, and pmean-weights by strip pixels so
     the result equals single-device ssim(pred_full, gt_full).
     """
-    from ..ops.ssim import _blur, _gaussian_window
+    from ..ops.ssim import _band_matrix, _blur
 
     halo = window_size // 2
     p = halo_exchange_rows(pred, axis_name, halo)
     g = halo_exchange_rows(gt, axis_name, halo)
 
-    win = jnp.asarray(_gaussian_window(window_size, sigma))
-    mu1, mu2 = _blur(p, win), _blur(g, win)
+    bh = jnp.asarray(_band_matrix(p.shape[1], window_size, sigma))
+    bw = jnp.asarray(_band_matrix(p.shape[2], window_size, sigma))
+
+    def blur(x):
+        return _blur(x, bh, bw)
+
+    mu1, mu2 = blur(p), blur(g)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _blur(p * p, win) - mu1_sq
-    s2 = _blur(g * g, win) - mu2_sq
-    s12 = _blur(p * g, win) - mu1_mu2
+    s1 = blur(p * p) - mu1_sq
+    s2 = blur(g * g) - mu2_sq
+    s12 = blur(p * g) - mu1_mu2
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))

@@ -1,12 +1,16 @@
 """SSIM with an 11x11 Gaussian window, matching the 3DGS formulation
 (reference: sings/rec/losses/utils.py:27-70).
 
-Implemented with XLA depthwise convolutions (lax.conv_general_dilated with
-feature_group_count) so it fuses well on TPU. Separable 1D passes halve
-the FLOPs relative to the reference's 2D window.
+The separable Gaussian blur is applied as two small banded MATMULS
+(B_H @ img @ B_W^T) rather than depthwise convolutions: a depthwise
+conv with C=3 runs one channel per group on the VPU (7.6 ms fwd+bwd at
+512x896 on v5e), while the banded matmuls ride the MXU — same math
+(zero-padded SAME conv == truncated banded rows), ~10x faster, and the
+backward is just the transposed matmuls.
 """
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -19,22 +23,23 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jax.Array, win: jax.Array) -> jax.Array:
-    """Depthwise separable Gaussian blur. img: (C, H, W)."""
-    c, _, _ = img.shape
-    w = win.shape[0]
-    pad = w // 2
-    x = img[None]  # NCHW
-    kh = jnp.broadcast_to(win.reshape(1, 1, w, 1), (c, 1, w, 1))
-    kw = jnp.broadcast_to(win.reshape(1, 1, 1, w), (c, 1, 1, w))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c)
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=c)
-    return x[0]
+@functools.lru_cache(maxsize=16)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix equivalent to zero-padded SAME 1D conv."""
+    win = _gaussian_window(window_size, sigma)
+    half = window_size // 2
+    m = np.zeros((n, n), np.float32)
+    for t, wv in enumerate(win):
+        off = t - half
+        idx = np.arange(max(0, -off), min(n, n - off))
+        m[idx, idx + off] = wv
+    return m
+
+
+def _blur(img: jax.Array, bh: jax.Array, bw: jax.Array) -> jax.Array:
+    """Separable Gaussian blur as banded matmuls. img: (C, H, W)."""
+    tmp = jnp.einsum("hH,cHw->chw", bh, img)
+    return jnp.einsum("wW,chW->chw", bw, tmp)
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
@@ -43,13 +48,16 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     if img1.ndim == 4:
         return jax.vmap(lambda a, b: ssim(a, b, window_size, sigma))(
             img1, img2).mean()
-    win = jnp.asarray(_gaussian_window(window_size, sigma))
-    mu1 = _blur(img1, win)
-    mu2 = _blur(img2, win)
+    _, h, w = img1.shape
+    bh = jnp.asarray(_band_matrix(h, window_size, sigma))
+    bw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    _blur_hw = functools.partial(_blur, bh=bh, bw=bw)
+    mu1 = _blur_hw(img1)
+    mu2 = _blur_hw(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, win) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, win) - mu2_sq
-    sigma12 = _blur(img1 * img2, win) - mu1_mu2
+    sigma1_sq = _blur_hw(img1 * img1) - mu1_sq
+    sigma2_sq = _blur_hw(img2 * img2) - mu2_sq
+    sigma12 = _blur_hw(img1 * img2) - mu1_mu2
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

@@ -38,6 +38,39 @@ def test_ssim_identity_and_range():
     assert float(ssim(img, noise)) < 0.9
 
 
+def test_ssim_matches_torch_style_2d_conv_reference():
+    """Banded-matmul blur == the reference's zero-padded 2D window conv
+    (sings/rec/losses/utils.py:27-70 semantics, computed here in numpy)."""
+    rs = np.random.RandomState(4)
+    a = rs.rand(3, 21, 17).astype(np.float32)
+    b = rs.rand(3, 21, 17).astype(np.float32)
+
+    xs = np.arange(11)
+    g = np.exp(-((xs - 5) ** 2) / (2 * 1.5**2))
+    g = (g / g.sum()).astype(np.float64)
+    win2d = np.outer(g, g)
+
+    def blur(img):
+        c, h, w = img.shape
+        pad = np.zeros((c, h + 10, w + 10))
+        pad[:, 5:-5, 5:-5] = img
+        out = np.zeros((c, h, w))
+        for dy in range(11):
+            for dx in range(11):
+                out += win2d[dy, dx] * pad[:, dy:dy + h, dx:dx + w]
+        return out
+
+    mu1, mu2 = blur(a), blur(b)
+    s1 = blur(a * a) - mu1**2
+    s2 = blur(b * b) - mu2**2
+    s12 = blur(a * b) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    expected = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) /
+                ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))).mean()
+    np.testing.assert_allclose(float(ssim(jnp.asarray(a), jnp.asarray(b))),
+                               expected, rtol=2e-5)
+
+
 def test_psnr():
     img = jnp.zeros((3, 8, 8))
     np.testing.assert_allclose(float(psnr(img, img + 0.1)), 20.0, rtol=1e-4)
