@@ -20,10 +20,12 @@ gs_renderer_single.py:87-95). Key mapping decisions:
     plus a per-tile while-loop early exit once every pixel saturates;
   * the backward pass is a second front-to-back walk using the global
     closed form  dC/dalpha_i = c_i*T_i - S_i/(1-alpha_i)  with
-    S_i = C_final - C_upto_i; per-pair gradients stream to an aligned
-    gradient buffer (its per-tile regions are padded so chunk writes
-    stay 128-aligned) and are reduced outside with a gather (never a
-    float scatter).
+    S_i = C_final - C_upto_i; the three per-channel suffix sums only
+    appear cotangent-weighted (sum_k g_k S_i,k), so the walk carries a
+    single weighted accumulator and ONE inclusive-cumsum matmul per
+    chunk. Per-pair gradients stream to an aligned gradient buffer (its
+    per-tile regions are padded so chunk writes stay 128-aligned) and
+    are reduced outside with a gather (never a float scatter).
 
 Pair features layout (16, PK + CHUNK) float32 — transposed so chunk DMA
 slices the minor (pair) axis; the extra CHUNK columns are zero padding
@@ -46,23 +48,37 @@ T_EPS = 1e-4
 NFEAT = 16
 
 
-def _pixel_coords(tile_idx, tile: int, n_tiles_x: int):
-    """(1, tile*tile) x and y pixel-center coordinates of a tile."""
+def _pixel_coords_local(tile: int):
+    """(1, tile*tile) x and y pixel coordinates LOCAL to a tile.
+
+    All per-pixel math runs in tile-local coordinates (gaussian means
+    are shifted by the tile origin instead): the values stay small
+    (|x| <= tile, |mean_loc| <~ 4*tile) which keeps the alpha quadratic
+    form better-conditioned in f32 than global pixel coordinates.
+    """
     npx = tile * tile
     p = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
     col = (p % tile).astype(jnp.float32)
     row = (p // tile).astype(jnp.float32)
+    return col, row
+
+
+def _tile_origin(tile_idx, tile: int, n_tiles_x: int):
     tx = (tile_idx % n_tiles_x).astype(jnp.float32)
     ty = (tile_idx // n_tiles_x).astype(jnp.float32)
-    return tx * tile + col, ty * tile + row
+    return tx * tile, ty * tile
 
 
-def _chunk_alpha(f, px_x, px_y, pair_ok):
+def _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok):
     """Shared fwd/bwd chunk math. f: (CHUNK, NFEAT) features,
-    pair_ok: (CHUNK, 1) mask for items inside the tile's segment.
+    (ox, oy): scalar tile origin, (px_x, px_y): (1, npx) tile-local
+    pixel coords, pair_ok: (CHUNK, 1) mask for items inside the tile's
+    segment.
 
-    Returns (alpha, Gv, dx, dy) with shapes (CHUNK, npx)."""
-    mx, my = f[:, 0:1], f[:, 1:2]
+    Returns (alpha, Gv, mx, my) with alpha/Gv (CHUNK, npx) and mx/my
+    (CHUNK, 1) tile-local mean columns."""
+    mx = f[:, 0:1] - ox
+    my = f[:, 1:2] - oy
     ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
     op = f[:, 8:9]
     dx = mx - px_x
@@ -72,7 +88,7 @@ def _chunk_alpha(f, px_x, px_y, pair_ok):
     alpha = jnp.minimum(0.99, op * gv)
     alpha = jnp.where(
         (power > 0.0) | (alpha < ALPHA_MIN) | ~pair_ok, 0.0, alpha)
-    return alpha, gv, dx, dy
+    return alpha, gv, mx, my
 
 
 def _tri_strict(chunk: int):
@@ -102,7 +118,8 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
     npx = tile * tile
     start, end, base, nchunks = _segment(offs_ref, t, chunk)
 
-    px_x, px_y = _pixel_coords(t, tile, n_tiles_x)
+    px_x, px_y = _pixel_coords_local(tile)
+    ox, oy = _tile_origin(t, tile, n_tiles_x)
     ltri = _tri_strict(chunk)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
@@ -134,7 +151,7 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
         f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
         pair_ok = (gidx >= start) & (gidx < end)
-        alpha, _, _, _ = _chunk_alpha(f, px_x, px_y, pair_ok)
+        alpha, _, _, _ = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
         excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
         t_bef = t_carry * jnp.exp(excl)
@@ -144,9 +161,10 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
         acc_r = acc_r + jnp.sum(w * f[:, 5:6], axis=0, keepdims=True)
         acc_g = acc_g + jnp.sum(w * f[:, 6:7], axis=0, keepdims=True)
         acc_b = acc_b + jnp.sum(w * f[:, 7:8], axis=0, keepdims=True)
+        # log1p(-aeff) = flag * la — reuse la instead of a second log1p
+        la_eff = jnp.where(flag, la, 0.0)
         t_carry = t_carry * jnp.exp(
-            jnp.sum(jnp.log1p(-aeff), axis=0, keepdims=True)
-        )
+            jnp.sum(la_eff, axis=0, keepdims=True))
         return c + 1, t_carry, acc_r, acc_g, acc_b
 
     def cond(carry):
@@ -174,7 +192,8 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
         ).wait()
 
     zeros = jnp.zeros((4, npx), jnp.float32)
-    out_ref[0] = jnp.concatenate([acc_r, acc_g, acc_b, t_final, zeros], axis=0)
+    out_ref[0] = jnp.concatenate(
+        [acc_r, acc_g, acc_b, t_final, zeros], axis=0)
 
 
 def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
@@ -185,19 +204,25 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
     start, end, base, nchunks = _segment(offs_ref, t, chunk)
     gbase = goffs_ref[t]
 
-    px_x, px_y = _pixel_coords(t, tile, n_tiles_x)
+    px_x, px_y = _pixel_coords_local(tile)
+    ox, oy = _tile_origin(t, tile, n_tiles_x)
     ltri = _tri_strict(chunk)
     linc = _tri_incl(chunk)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
-    cf_r = fwd_ref[0, 0:1, :]
-    cf_g = fwd_ref[0, 1:2, :]
-    cf_b = fwd_ref[0, 2:3, :]
     t_final = fwd_ref[0, 3:4, :]
-    g_r = gout_ref[0, 0:1, :]
-    g_g = gout_ref[0, 1:2, :]
-    g_b = gout_ref[0, 2:3, :]
+    g_rgb = gout_ref[0, 0:3, :]  # (3, npx) color cotangents
     g_t = gout_ref[0, 3:4, :]
+    # per-tile constants of the cotangent-weighted backward: the three
+    # per-channel suffix sums S_k = C_final_k - up_k only ever appear in
+    # dl_da as sum_k g_k * S_k, so the whole chunk walk runs on ONE
+    # weighted accumulator (cpg) and ONE inclusive-cumsum matmul instead
+    # of three per-channel ones (measured 3.51 -> 3.07 ms at the bench
+    # scene; the moment-matmul alternative for the d_* reductions was
+    # SLOWER — cross-lane reductions are cheap under Mosaic, N=8
+    # matmuls are not; see scripts/exp_bwd_variants.py)
+    cfg = jnp.sum(g_rgb * fwd_ref[0, 0:3, :], axis=0, keepdims=True)
+    gtf = g_t * t_final
 
     def write_dma(c, slot):
         return pltpu.make_async_copy(
@@ -219,7 +244,7 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         read_dma(0, 0).start()
 
     def body(carry):
-        c, t_carry, cp_r, cp_g, cp_b = carry
+        c, t_carry, cpg = carry
         slot = c % 2
 
         @pl.when(c + 1 < nchunks)
@@ -236,7 +261,7 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
         pair_ok = (gidx >= start) & (gidx < end)
-        alpha, gv, dx, dy = _chunk_alpha(f, px_x, px_y, pair_ok)
+        alpha, gv, mx, my = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
         excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
         t_bef = t_carry * jnp.exp(excl)
@@ -244,20 +269,14 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         aeff = jnp.where(flag, alpha, 0.0)
         w = aeff * t_bef
 
-        wr = w * f[:, 5:6]
-        wg = w * f[:, 6:7]
-        wb = w * f[:, 7:8]
-        up_r = cp_r + jnp.dot(linc, wr, preferred_element_type=jnp.float32)
-        up_g = cp_g + jnp.dot(linc, wg, preferred_element_type=jnp.float32)
-        up_b = cp_b + jnp.dot(linc, wb, preferred_element_type=jnp.float32)
-
+        # gc[i, px] = sum_k g_k[px] * color_k[i]  (VPU rank-3; a 3-K
+        # MXU matmul measured slower)
+        gc = (f[:, 5:6] * g_rgb[0:1] + f[:, 6:7] * g_rgb[1:2]
+              + f[:, 7:8] * g_rgb[2:3])
+        wgc = w * gc
+        upg = cpg + jnp.dot(linc, wgc, preferred_element_type=jnp.float32)
         inv1m = 1.0 / (1.0 - aeff)
-        dl_da = (
-            g_r * (f[:, 5:6] * t_bef - (cf_r - up_r) * inv1m)
-            + g_g * (f[:, 6:7] * t_bef - (cf_g - up_g) * inv1m)
-            + g_b * (f[:, 7:8] * t_bef - (cf_b - up_b) * inv1m)
-            - g_t * t_final * inv1m
-        )
+        dl_da = t_bef * gc - inv1m * ((cfg - upg) + gtf)
         dl_da = jnp.where(aeff > 0.0, dl_da, 0.0)
 
         # CUDA-quirk derivatives: treat alpha = opacity * G even when the
@@ -266,15 +285,17 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         dl_dop = jnp.sum(gv * dl_da, axis=1, keepdims=True)
         dl_dpow = dl_dg * gv
         ca, cb = f[:, 2:3], f[:, 3:4]
+        dx = mx - px_x
+        dy = my - px_y
         d_mx = jnp.sum(dl_dpow * -(ca * dx + cb * dy), axis=1, keepdims=True)
         d_my = jnp.sum(dl_dpow * -(f[:, 4:5] * dy + cb * dx), axis=1,
                        keepdims=True)
         d_ca = jnp.sum(dl_dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
         d_cb = jnp.sum(dl_dpow * (-dx * dy), axis=1, keepdims=True)
         d_cc = jnp.sum(dl_dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
-        d_r = jnp.sum(g_r * w, axis=1, keepdims=True)
-        d_g = jnp.sum(g_g * w, axis=1, keepdims=True)
-        d_b = jnp.sum(g_b * w, axis=1, keepdims=True)
+        d_r = jnp.sum(g_rgb[0:1] * w, axis=1, keepdims=True)
+        d_g = jnp.sum(g_rgb[1:2] * w, axis=1, keepdims=True)
+        d_b = jnp.sum(g_rgb[2:3] * w, axis=1, keepdims=True)
 
         zeros = jnp.zeros((chunk, 1), jnp.float32)
         gchunk = jnp.concatenate(
@@ -284,23 +305,19 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         gscratch[slot] = jnp.transpose(gchunk, (1, 0))  # (NFEAT, chunk)
         write_dma(c, slot).start()
 
-        cp_r = cp_r + jnp.sum(wr, axis=0, keepdims=True)
-        cp_g = cp_g + jnp.sum(wg, axis=0, keepdims=True)
-        cp_b = cp_b + jnp.sum(wb, axis=0, keepdims=True)
+        cpg = upg[chunk - 1:chunk, :]  # inclusive-cumsum last row
+        la_eff = jnp.where(flag, la, 0.0)
         t_carry = t_carry * jnp.exp(
-            jnp.sum(jnp.log1p(-aeff), axis=0, keepdims=True)
-        )
-        return c + 1, t_carry, cp_r, cp_g, cp_b
+            jnp.sum(la_eff, axis=0, keepdims=True))
+        return c + 1, t_carry, cpg
 
     def cond(carry):
-        c, t_carry, *_ = carry
+        c, t_carry, _ = carry
         return jnp.logical_and(c < nchunks, jnp.max(t_carry) >= T_EPS)
 
     init = (
         jnp.int32(0),
         jnp.ones((1, npx), jnp.float32),
-        jnp.zeros((1, npx), jnp.float32),
-        jnp.zeros((1, npx), jnp.float32),
         jnp.zeros((1, npx), jnp.float32),
     )
     c_done, *_ = jax.lax.while_loop(cond, body, init)
