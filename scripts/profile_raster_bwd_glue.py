@@ -52,7 +52,8 @@ fwd_out = jax.jit(lambda f, o: composite_fwd(
 gout = jnp.ones((ntx * nty, 8, npx), jnp.float32)
 grad_cap = int(binning.pair_slot_capacity)
 offsets, grad_offsets = binning.tile_offsets, binning.grad_offsets
-pair_slot = binning.pair_slot
+main_slot, tail_slot = binning.main_slot, binning.tail_slot
+tail_gauss = binning.tail_gauss
 g_color = jnp.ones((3, hw, hw), jnp.float32)
 g_t = jnp.ones((hw, hw), jnp.float32)
 
@@ -68,12 +69,22 @@ def kern(f):
                          n_tiles_y=nty, grad_cap=grad_cap)
 
 
+def glue_main_tail(f):
+    pg = kern(f).at[:, -1].set(0.0)[:9].T
+    mw = main_slot.shape[1]
+    out = pg[main_slot.reshape(-1)].reshape(n, mw, 9).sum(1)
+    tc_, tw = tail_slot.shape
+    if tw > 0:
+        pgt = pg[tail_slot.reshape(-1)].reshape(tc_, tw, 9).sum(1)
+        out = out.at[tail_gauss].add(pgt, mode="drop")
+    return out
+
+
 t("1. bwd kernel raw", kern, feats)
 t("2. + zero spare + [:9].T",
   lambda f: kern(f).at[:, -1].set(0.0)[:9].T, feats)
-t("3. + gather/sum glue",
-  lambda f: kern(f).at[:, -1].set(0.0)[:9].T[pair_slot]
-  .reshape(n, -1, 9).sum(1), feats)
+t("3. + prefix/tail gather glue", glue_main_tail, feats)
+print("   main", main_slot.shape, "tail", tail_slot.shape)
 
 
 def gout_assembly(g_color, g_t):
@@ -92,29 +103,16 @@ t("5. fwd image relayout",
       2, 0, 3, 1, 4).reshape(3, nty * tile, ntx * tile), fwd_out)
 
 
-def glue_barrier(f):
+def glue_dense_oldstyle(f):
+    # old dense (n, cap) table emulated: main_width = cap, no tail
     pg = kern(f).at[:, -1].set(0.0)[:9].T
-    pg = jax.lax.optimization_barrier(pg)
-    return pg[pair_slot].reshape(n, -1, 9).sum(1)
+    mw = dense_slot.shape[1]
+    return pg[dense_slot.reshape(-1)].reshape(n, mw, 9).sum(1)
 
 
-t("6. glue w/ barrier after .T", glue_barrier, feats)
-
-
-def glue16(f):
-    pg = kern(f).at[:, -1].set(0.0).T  # (grad_cap, NFEAT)
-    pg = jax.lax.optimization_barrier(pg)
-    return pg[pair_slot].reshape(n, -1, pg.shape[1]).sum(1)[:, :9]
-
-
-t("7. glue 16-wide rows + barrier", glue16, feats)
-
-
-def glue_sum_first(f):
-    # gather along lane axis row-by-row (9 small gathers)
-    pg = kern(f).at[:, -1].set(0.0)
-    cols = [pg[i][pair_slot].reshape(n, -1).sum(1) for i in range(9)]
-    return jnp.stack(cols, 1)
-
-
-t("8. glue 9 lane-axis gathers", glue_sum_first, feats)
+from sings_tpu.ops.rasterizer.tiles import bin_gaussians as _bg
+dense = jax.jit(lambda g: _bg(
+    g, tile=tile, n_tiles_x=ntx, n_tiles_y=nty, max_span=max_span,
+    align=chunk, max_pairs=max_pairs, main_width=max_span * max_span))(g2d)
+dense_slot = dense.main_slot
+t("6. dense (n, cap) glue [old]", glue_dense_oldstyle, feats)

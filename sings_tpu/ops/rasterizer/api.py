@@ -29,6 +29,8 @@ class RasterConfig(NamedTuple):
     chunk: int = 128
     max_span: int = 5
     max_pairs: int | None = None
+    main_width: int = 4
+    tail_capacity: int | None = None
     interpret: bool = False
 
 
@@ -71,6 +73,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
     binning = bin_gaussians(
         g2d, tile=cfg.tile, n_tiles_x=ntx, n_tiles_y=nty,
         max_span=cfg.max_span, align=cfg.chunk, max_pairs=cfg.max_pairs,
+        main_width=cfg.main_width, tail_capacity=cfg.tail_capacity,
     )
     feats, valid = _gather_feats(binning, means2d, conics, colors,
                                  opacities, cfg.chunk)
@@ -88,13 +91,15 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
         nty * cfg.tile, ntx * cfg.tile
     )[: cfg.height, : cfg.width]
     res = (feats, binning.tile_offsets, binning.grad_offsets, out,
-           binning.pair_slot, binning.pair_slot_capacity, means2d.shape[0])
+           binning.main_slot, binning.tail_slot, binning.tail_gauss,
+           binning.pair_slot_capacity, means2d.shape[0])
     return (color, t_final), res
 
 
 def _composite_bwd(cfg, res, cot):
     g_color, g_t = cot
-    feats, offsets, grad_offsets, fwd_out, pair_slot, grad_cap, n = res
+    (feats, offsets, grad_offsets, fwd_out, main_slot, tail_slot,
+     tail_gauss, grad_cap, n) = res
     ntx, nty = _pad_tiles(cfg)
     hp, wp = nty * cfg.tile, ntx * cfg.tile
     npx = cfg.tile * cfg.tile
@@ -121,10 +126,17 @@ def _composite_bwd(cfg, res, cot):
     )
     # zero the reserved spare slot (invalid pairs gather from it; the
     # kernel never writes it), keep only the 9 used gradient rows, and
-    # un-sort with one row gather (no float scatter)
+    # un-sort with narrow row gathers (no float scatter; the glue is
+    # gather-row-count-bound, hence the prefix + compacted-tail tables
+    # instead of a dense (N, max_span^2) one — see tiles.py)
     n_used = 9
     pair_grads = pair_grads.at[:, -1].set(0.0)[:n_used].T  # (grad_cap, 9)
-    pg = pair_grads[pair_slot].reshape(n, -1, n_used).sum(axis=1)
+    mw = main_slot.shape[1]
+    pg = pair_grads[main_slot.reshape(-1)].reshape(n, mw, n_used).sum(axis=1)
+    tc, tw = tail_slot.shape
+    if tw > 0:
+        pgt = pair_grads[tail_slot.reshape(-1)].reshape(tc, tw, n_used)
+        pg = pg.at[tail_gauss].add(pgt.sum(axis=1), mode="drop")
 
     d_means2d = pg[:, 0:2]
     d_conics = pg[:, 2:5]

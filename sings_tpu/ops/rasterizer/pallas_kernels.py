@@ -396,10 +396,11 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
     """Run the backward kernel.
 
     Returns per-pair gradients (NFEAT, grad_cap) in the aligned
-    grad-buffer layout (tiles.TileBinning.grad_offsets / pair_slot).
-    Unwritten slots (region tails, the reserved spare) are undefined —
-    pair_slot points only at written slots plus the spare, which callers
-    must zero before gathering.
+    grad-buffer layout (tiles.TileBinning.grad_offsets; slot tables
+    main_slot/tail_slot index into it). Unwritten slots (region tails,
+    the reserved spare) are undefined — the slot tables point only at
+    written slots plus the spare, which callers must zero before
+    gathering.
     """
     n_tiles = n_tiles_x * n_tiles_y
     npx = tile * tile

@@ -21,6 +21,19 @@ than sorting the same data):
      slot in the kernel-written gradient buffer); it is built from a
      1024-element scatter + cumsum (piecewise-constant segment shifts)
      and one more sort — still no large scatter.
+
+Backward-glue tables. The un-sort gather after the backward kernel is
+row-count-bound (~7-10ns/row), so gathering a dense (N, max_span^2)
+slot table wastes 2-3x rows on spare-slot padding (measured: 174k real
+pairs vs 450k table rows at the bench scene). Pairs are therefore
+enumerated so that each gaussian's VALID pairs form a prefix
+(dx = j % wc, dy = j // wc, valid = j < wc*hc), letting the glue gather
+a narrow (N, main_width) prefix table that fully covers the ~88% of
+gaussians spanning <= main_width tiles, plus a compact
+(tail_capacity, cap - main_width) table for the wide ones (scatter-add
+of tail_capacity rows, tiny). Tail overflow is counted in `overflow`
+(it degrades only gradients of overflowed wide gaussians, never the
+forward image — same contract as the max_pairs budget).
 """
 from __future__ import annotations
 
@@ -41,15 +54,23 @@ class TileBinning(NamedTuple):
     tile_offsets: (T + 1,) int32 UNALIGNED offsets into sorted order.
     grad_offsets: (T + 1,) int32 aligned offsets into the (PG,) gradient
         buffer the backward kernel writes (PG = grad_capacity).
-    pair_slot: (N * cap,) int32 grad-buffer slot per original pair
-        (PG - 1, the reserved slot, for invalid/dropped pairs).
+    main_slot: (N, main_width) int32 grad-buffer slots of each
+        gaussian's first min(span, main_width) pairs (PG - 1, the
+        reserved spare slot, for invalid/dropped pairs).
+    tail_slot: (TC, cap - main_width) int32 slots of pairs
+        j >= main_width, compacted over gaussians with span >
+        main_width; (TC, 0) when cap <= main_width.
+    tail_gauss: (TC,) int32 gaussian index per tail row; N (one past
+        the end, scatter-dropped) for unused rows.
     num_pairs, overflow: () int32 diagnostics.
     """
 
     sorted_gauss: jax.Array
     tile_offsets: jax.Array
     grad_offsets: jax.Array
-    pair_slot: jax.Array
+    main_slot: jax.Array
+    tail_slot: jax.Array
+    tail_gauss: jax.Array
     num_pairs: jax.Array
     overflow: jax.Array
 
@@ -76,6 +97,8 @@ def bin_gaussians(
     max_span: int = 3,
     align: int = 128,
     max_pairs: int | None = None,
+    main_width: int = 4,
+    tail_capacity: int | None = None,
 ) -> TileBinning:
     """Build depth-ordered, tile-grouped pair lists (see module doc).
 
@@ -83,6 +106,11 @@ def bin_gaussians(
         shape requirement; larger spans are center-cropped).
     max_pairs: static capacity of the sorted pair prefix; pairs beyond
         it (highest tile ids) are dropped and counted in `overflow`.
+    main_width: prefix width of the backward-glue slot table (pairs
+        j < main_width per gaussian).
+    tail_capacity: static row budget for gaussians spanning more than
+        main_width tiles (default N // 4); overfull tails lose only
+        their gradient contributions and are counted in `overflow`.
     """
     n = g.means2d.shape[0]
     n_tiles = n_tiles_x * n_tiles_y
@@ -107,18 +135,16 @@ def bin_gaussians(
     hc = jnp.minimum(h, max_span)
     overflow = jnp.sum((w * h - wc * hc) * g.mask)
 
-    k = jnp.arange(cap, dtype=jnp.int32)
-    dx = k % max_span
-    dy = k // max_span
-    valid = (
-        g.mask[:, None]
-        & (dx[None, :] < wc[:, None])
-        & (dy[None, :] < hc[:, None])
-        & (w[:, None] > 0)
-        & (h[:, None] > 0)
-    )
-    tile_id = (y0c[:, None] + dy[None, :]) * n_tiles_x + (
-        x0c[:, None] + dx[None, :])
+    # prefix enumeration: gaussian's pair j covers tile (j % wc, j // wc)
+    # of its cropped rect, so valid pairs are exactly j < wc*hc — the
+    # backward-glue tables below can then be narrow (see module doc)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    wc_safe = jnp.maximum(wc, 1)[:, None]
+    dx = j[None, :] % wc_safe
+    dy = j[None, :] // wc_safe
+    span = jnp.where(g.mask & (w > 0) & (h > 0), wc * hc, 0)
+    valid = j[None, :] < span[:, None]
+    tile_id = (y0c[:, None] + dy) * n_tiles_x + (x0c[:, None] + dx)
 
     assert n_tiles * n < 2**31 - 1, "int32 sort key overflow"
     key = jnp.where(valid, tile_id * n + rank[:, None], INVALID).reshape(-1)
@@ -174,12 +200,39 @@ def bin_gaussians(
         [slot, jnp.full((p - pk,), spare, jnp.int32)])
     sf_full = jnp.concatenate([sf, sorted_flat[pk:]])
     _, pair_slot = jax.lax.sort_key_val(sf_full, slot_full)
+    ps = pair_slot.reshape(n, cap)
+
+    # backward-glue tables: narrow prefix + compacted tail
+    mw = min(main_width, cap)
+    main_slot = ps[:, :mw]
+    tw = cap - mw
+    if tw > 0:
+        tc = tail_capacity
+        if tc is None:
+            tc = max(align, -(-n // 4 // align) * align)
+        tc = min(tc, n)
+        big = span > mw
+        nbig = jnp.sum(big.astype(jnp.int32))
+        order = jnp.argsort(jnp.where(big, 0, 1).astype(jnp.int32),
+                            stable=True)
+        tail_rows = order[:tc]
+        row_ok = jnp.arange(tc, dtype=jnp.int32) < nbig
+        tail_gauss = jnp.where(row_ok, tail_rows, n).astype(jnp.int32)
+        tail_slot = jnp.where(row_ok[:, None], ps[tail_rows, mw:], spare)
+        overflow = overflow + jnp.sum(
+            jnp.where(big & (jnp.cumsum(big.astype(jnp.int32)) - 1 >= tc),
+                      span - mw, 0))
+    else:
+        tail_gauss = jnp.full((0,), n, jnp.int32)
+        tail_slot = jnp.zeros((0, 0), jnp.int32)
 
     return TileBinning(
         sorted_gauss=sorted_gauss,
         tile_offsets=offsets,
         grad_offsets=grad_offsets,
-        pair_slot=pair_slot,
+        main_slot=main_slot,
+        tail_slot=tail_slot,
+        tail_gauss=tail_gauss,
         num_pairs=num_pairs,
         overflow=overflow,
         pair_slot_capacity=pg,

@@ -73,37 +73,56 @@ def test_binning_max_pairs_truncates():
     assert capped.sorted_gauss.shape[0] == npairs // 2
 
 
-def test_pair_slot_grad_layout():
-    """pair_slot must map each valid pair to the grad-buffer slot the
-    backward kernel writes: grad_offsets[t] + (i - aligned_floor)."""
+def test_glue_slot_tables_grad_layout():
+    """main_slot + tail_slot must map each valid pair to the grad-buffer
+    slot the backward kernel writes: grad_offsets[t] + (i - floor)."""
     align = 8
     cam, means, scales, quats, opac, rgb = make_scene(hw=64)
+    n = means.shape[0]
     g = preprocess(means, scales, quats, opac, rgb, cam)
     b = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
-                      align=align)
+                      align=align, main_width=4, tail_capacity=n)
     offs = np.asarray(b.tile_offsets)
     goffs = np.asarray(b.grad_offsets)
     sg = np.asarray(b.sorted_gauss)
-    slots = np.asarray(b.pair_slot)
-    cap = 64
+    main = np.asarray(b.main_slot)
+    tail = np.asarray(b.tail_slot)
+    tgauss = np.asarray(b.tail_gauss)
     spare = b.pair_slot_capacity - 1
 
-    # rebuild slot -> sorted index mapping per tile and check round trip
+    # per-gaussian multiset of non-spare slots across both tables
+    slots_of = {gid: [] for gid in range(n)}
+    for gid in range(n):
+        slots_of[gid] += [s for s in main[gid] if s != spare]
+    for r in range(tail.shape[0]):
+        if tgauss[r] < n:
+            slots_of[int(tgauss[r])] += [s for s in tail[r] if s != spare]
+
     seen = set()
+    total = 0
     for t in range(16):
         base = (offs[t] // align) * align
         for i in range(offs[t], offs[t + 1]):
             slot = goffs[t] + (i - base)
-            gid = sg[i]
+            gid = int(sg[i])
             assert gid >= 0
-            # the pair (gid, k) whose slot this is must map back here
-            matches = [
-                f for f in range(gid * cap, (gid + 1) * cap)
-                if slots[f] == slot
-            ]
-            assert len(matches) == 1
+            assert slots_of[gid].count(slot) == 1, (t, gid, slot)
             assert slot not in seen
             seen.add(slot)
-    # all other pairs point at the spare slot
-    n_valid = int(b.num_pairs)
-    assert (slots == spare).sum() == slots.shape[0] - n_valid
+            total += 1
+    # no extra non-spare entries beyond the valid pairs
+    assert sum(len(v) for v in slots_of.values()) == total == int(b.num_pairs)
+    assert int(b.overflow) == 0
+
+
+def test_glue_tail_overflow_counted():
+    cam, means, scales, quats, opac, rgb = make_scene(hw=64)
+    g = preprocess(means, scales, quats, opac, rgb, cam)
+    full = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
+                         align=8, main_width=2, tail_capacity=64)
+    assert int(full.overflow) == 0
+    tight = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
+                          align=8, main_width=2, tail_capacity=8)
+    nbig = int((np.asarray(full.tail_gauss) < means.shape[0]).sum())
+    if nbig > 8:
+        assert int(tight.overflow) > 0
