@@ -1,1 +1,1 @@
-from . import refine  # noqa: F401
+from . import frames, refine  # noqa: F401
