@@ -289,7 +289,7 @@ def run_bwd(variant):
 outs = {v: run_bwd(v) for v in ["v1", "v3", "v4", "v2"]}
 # cross-check numerics (only written slots are defined; compare via the
 # pair_slot gather with the spare zeroed)
-ps = binning.pair_slot
+ps = binning.main_slot  # NOTE: post-refactor: prefix table only
 
 
 def reduce(o):

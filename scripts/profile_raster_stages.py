@@ -60,7 +60,7 @@ fwd_out = jax.jit(lambda f, o: composite_fwd(
     f, o, tile=tile, chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty))(
         feats, binning.tile_offsets)
 gout = jnp.ones((ntx * nty, 8, tile * tile), jnp.float32)
-grad_cap = int(binning.pair_slot_capacity)
+grad_cap = int(binning.main_slot_capacity)
 
 # --- timings ---
 t("preprocess fwd", lambda *a: pre(*a).colors, means, scales, opac, shs)
@@ -77,7 +77,7 @@ t("preprocess fwd+bwd", jax.grad(pre_loss, argnums=(0, 1, 2, 3)),
 
 t("binning", lambda g: bin_gaussians(
     g, tile=tile, n_tiles_x=ntx, n_tiles_y=nty, max_span=max_span,
-    align=chunk, max_pairs=max_pairs).pair_slot, g2d)
+    align=chunk, max_pairs=max_pairs).main_slot, g2d)
 
 t("feats gather", lambda b, g: api._gather_feats(
     b, g.means2d, g.conics, g.colors, g.opacities, chunk)[0],
@@ -95,7 +95,7 @@ t("composite bwd kernel", lambda f, o, go, fo, g: composite_bwd(
 pair_grads = jnp.asarray(rng.randn(grad_cap, 9).astype(np.float32))
 t("bwd glue (pair gather + sum)",
   lambda pg, ps: pg[ps].reshape(n, -1, 9).sum(1), pair_grads,
-  binning.pair_slot)
+  binning.main_slot)
 
 
 # --- end to end ---

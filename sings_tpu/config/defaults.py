@@ -143,6 +143,8 @@ DEFAULTS = {
             "chunk": 128,
             "max_span": 3,
             "max_pairs": None,
+            "main_width": 4,       # backward-glue prefix table width
+            "tail_capacity": None,  # wide-gaussian tail rows (None: N//4)
         },
         "capacity_margin": 1.25,   # slot headroom over current gaussians
         "inner_steps": 8,          # train steps fused per dispatch (lax.scan)

@@ -167,6 +167,8 @@ def rasterize(
     chunk: int = 128,
     max_span: int = 5,
     max_pairs: int | None = None,
+    main_width: int = 4,
+    tail_capacity: int | None = None,
     interpret: bool = False,
 ) -> dict:
     """Differentiable gaussian splatting to an image.
@@ -196,7 +198,8 @@ def rasterize(
     if backend == "pallas":
         cfg = RasterConfig(
             height=camera.height, width=camera.width, tile=tile, chunk=chunk,
-            max_span=max_span, max_pairs=max_pairs, interpret=interpret,
+            max_span=max_span, max_pairs=max_pairs, main_width=main_width,
+            tail_capacity=tail_capacity, interpret=interpret,
         )
         color, t_final = _composite_tiled(
             cfg, means2d, g2d.conics, g2d.colors, g2d.opacities, g2d.depths,

@@ -58,6 +58,8 @@ def default_raster_kw(cfg, height, width):
         chunk=cfg.tpu.raster.chunk,
         max_span=cfg.tpu.raster.max_span,
         max_pairs=cfg.tpu.raster.max_pairs,
+        main_width=cfg.tpu.raster.main_width,
+        tail_capacity=cfg.tpu.raster.tail_capacity,
     )
     if jax.default_backend() != "tpu":
         kw.update(chunk=8, interpret=True)
