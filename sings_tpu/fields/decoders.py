@@ -34,6 +34,13 @@ def _linear(p, x):
     return x @ p["w"] + p["b"]
 
 
+def _gelu(x):
+    # exact erf GELU: torch nn.GELU defaults to approximate='none'
+    # (reference decoders.py act_fn_dict); jax.nn.gelu defaults to the
+    # tanh approximation, which diverges ~1e-3
+    return jax.nn.gelu(x, approximate=False)
+
+
 class DecoderConfig(NamedTuple):
     n_features: int = 96          # triplane feat_dim (32 x 3 scales)
     isotropic: bool = True
@@ -59,11 +66,11 @@ def init_geometry_decoder(key, cfg: DecoderConfig) -> dict:
 
 
 def geometry_decoder(p: dict, feats: jax.Array, cfg: DecoderConfig) -> dict:
-    x = jax.nn.gelu(_linear(p["net0"], feats))
-    x = jax.nn.gelu(_linear(p["net1"], x))
+    x = _gelu(_linear(p["net0"], feats))
+    x = _gelu(_linear(p["net1"], x))
     xyz_offsets = _linear(p["xyz"], x)
     rotations = _linear(p["rot"], x) if not cfg.isotropic else None
-    s = jax.nn.gelu(_linear(p["scales0"], x))
+    s = _gelu(_linear(p["scales0"], x))
     scales_aux = _linear(p["scales1"], s)
     scales = jax.nn.softplus(scales_aux)
     if scales.shape[-1] == 1:
@@ -91,8 +98,8 @@ def init_appearance_decoder(key, cfg: DecoderConfig) -> dict:
 
 def appearance_decoder(p: dict, feats: jax.Array, cfg: DecoderConfig,
                        opacity_offset: jax.Array | float = 0.0) -> dict:
-    x = jax.nn.gelu(_linear(p["net0"], feats))
-    x = jax.nn.gelu(_linear(p["net1"], x))
+    x = _gelu(_linear(p["net0"], feats))
+    x = _gelu(_linear(p["net1"], x))
     shs = _linear(p["shs"], x).reshape(-1, cfg.sh_coeffs, 3)
     if cfg.fixed_opacity:
         opacity = jnp.ones((feats.shape[0], 1), feats.dtype)
@@ -106,6 +113,6 @@ def appearance_opacity_logit(p: dict, feats: jax.Array,
                              cfg: DecoderConfig) -> jax.Array:
     """Raw opacity logit, used to recompute the reset offset
     (reference reset_opacity: offset = where(logit > 0, 0, -logit))."""
-    x = jax.nn.gelu(_linear(p["net0"], feats))
-    x = jax.nn.gelu(_linear(p["net1"], x))
+    x = _gelu(_linear(p["net0"], feats))
+    x = _gelu(_linear(p["net1"], x))
     return _linear(p["opacity"], x)

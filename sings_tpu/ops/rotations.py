@@ -153,7 +153,7 @@ def rotation_6d_to_axis_angle(d6: jax.Array) -> jax.Array:
     return matrix_to_axis_angle(rotation_6d_to_matrix(d6))
 
 
-def quaternion_multiply(a: jax.Array, b: jax.Array) -> jax.Array:
+def quaternion_raw_multiply(a: jax.Array, b: jax.Array) -> jax.Array:
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
     bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
     return jnp.stack(
@@ -165,6 +165,17 @@ def quaternion_multiply(a: jax.Array, b: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
+
+
+def standardize_quaternion(quat: jax.Array) -> jax.Array:
+    """Canonical versor with nonnegative real part (rotations.py:357)."""
+    return jnp.where(quat[..., :1] < 0, -quat, quat)
+
+
+def quaternion_multiply(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Composition of rotations, standardized like the reference's
+    pytorch3d-style quaternion_multiply (rotations.py:393-408)."""
+    return standardize_quaternion(quaternion_raw_multiply(a, b))
 
 
 def quaternion_apply(quat: jax.Array, point: jax.Array) -> jax.Array:
