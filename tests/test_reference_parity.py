@@ -297,3 +297,32 @@ def test_predefined_poses_match_reference():
         ref = get_predefined_pose(pose, device="cpu")
         np.testing.assert_allclose(predefined_pose(pose),
                                    ref[0].numpy(), atol=0)
+
+
+# --------------------------------------------------------------------- SH
+def test_sh_eval_matches_reference():
+    """The reference SH module calls .cuda() at import; a no-op .cuda
+    monkeypatch (CPU passthrough) lets its hardcoded coefficient tables
+    and basis evaluation run unmodified."""
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        from sings.rec.utils.visualize import spherical_harmonics as S
+    finally:
+        torch.Tensor.cuda = orig
+
+    from sings_tpu.ops.sh import eval_sh, rgb2sh, sh2rgb
+
+    sh = rng.normal(size=(40, 3, 16)).astype(np.float32)
+    dirs = rng.normal(size=(40, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    for deg in range(4):
+        ref = S.eval_sh(deg, _t(sh), _t(dirs), S.C0, S.C1, S.C2, S.C3, S.C4)
+        # ours takes (..., K, C); the reference takes (..., C, K)
+        out = eval_sh(deg, jnp.asarray(sh.transpose(0, 2, 1)),
+                      jnp.asarray(dirs))
+        _close(out, ref, atol=1e-5)
+
+    rgb = rng.rand(20, 3).astype(np.float32)
+    _close(rgb2sh(jnp.asarray(rgb)), S.RGB2SH(_t(rgb)))
+    _close(sh2rgb(rgb2sh(jnp.asarray(rgb))), _t(rgb))
