@@ -53,7 +53,7 @@ gout = jnp.ones((ntx * nty, 8, npx), jnp.float32)
 grad_cap = int(binning.pair_slot_capacity)
 offsets, grad_offsets = binning.tile_offsets, binning.grad_offsets
 main_slot, tail_slot = binning.main_slot, binning.tail_slot
-tail_gauss = binning.tail_gauss
+tail_of_gauss = binning.tail_of_gauss
 g_color = jnp.ones((3, hw, hw), jnp.float32)
 g_t = jnp.ones((hw, hw), jnp.float32)
 
@@ -76,7 +76,8 @@ def glue_main_tail(f):
     tc_, tw = tail_slot.shape
     if tw > 0:
         pgt = pg[tail_slot.reshape(-1)].reshape(tc_, tw, 9).sum(1)
-        out = out.at[tail_gauss].add(pgt, mode="drop")
+        tail_sums = jnp.concatenate([pgt, jnp.zeros((1, 9), pgt.dtype)], 0)
+        out = out + tail_sums[tail_of_gauss]
     return out
 
 

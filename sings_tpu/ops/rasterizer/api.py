@@ -29,7 +29,7 @@ class RasterConfig(NamedTuple):
     chunk: int = 128
     max_span: int = 5
     max_pairs: int | None = None
-    main_width: int = 4
+    main_width: int = 6
     tail_capacity: int | None = None
     interpret: bool = False
 
@@ -91,7 +91,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
         nty * cfg.tile, ntx * cfg.tile
     )[: cfg.height, : cfg.width]
     res = (feats, binning.tile_offsets, binning.grad_offsets, out,
-           binning.main_slot, binning.tail_slot, binning.tail_gauss,
+           binning.main_slot, binning.tail_slot, binning.tail_of_gauss,
            binning.pair_slot_capacity, means2d.shape[0])
     return (color, t_final), res
 
@@ -99,7 +99,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
 def _composite_bwd(cfg, res, cot):
     g_color, g_t = cot
     (feats, offsets, grad_offsets, fwd_out, main_slot, tail_slot,
-     tail_gauss, grad_cap, n) = res
+     tail_of_gauss, grad_cap, n) = res
     ntx, nty = _pad_tiles(cfg)
     hp, wp = nty * cfg.tile, ntx * cfg.tile
     npx = cfg.tile * cfg.tile
@@ -136,7 +136,12 @@ def _composite_bwd(cfg, res, cot):
     tc, tw = tail_slot.shape
     if tw > 0:
         pgt = pair_grads[tail_slot.reshape(-1)].reshape(tc, tw, n_used)
-        pg = pg.at[tail_gauss].add(pgt.sum(axis=1), mode="drop")
+        # gather-merge via the per-gaussian tail-row index (row tc is a
+        # zero pad) — a float scatter-add here measured 2x slower in the
+        # fused backward (see tiles.py docstring)
+        tail_sums = jnp.concatenate(
+            [pgt.sum(axis=1), jnp.zeros((1, n_used), pgt.dtype)], axis=0)
+        pg = pg + tail_sums[tail_of_gauss]
 
     d_means2d = pg[:, 0:2]
     d_conics = pg[:, 2:5]
@@ -167,7 +172,7 @@ def rasterize(
     chunk: int = 128,
     max_span: int = 5,
     max_pairs: int | None = None,
-    main_width: int = 4,
+    main_width: int = 6,
     tail_capacity: int | None = None,
     interpret: bool = False,
 ) -> dict:

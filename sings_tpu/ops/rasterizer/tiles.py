@@ -60,8 +60,11 @@ class TileBinning(NamedTuple):
     tail_slot: (TC, cap - main_width) int32 slots of pairs
         j >= main_width, compacted over gaussians with span >
         main_width; (TC, 0) when cap <= main_width.
-    tail_gauss: (TC,) int32 gaussian index per tail row; N (one past
-        the end, scatter-dropped) for unused rows.
+    tail_of_gauss: (N,) int32 tail-table row of each gaussian, TC (one
+        past the end, where a zero row is appended) for gaussians with
+        no tail — the merge stays a GATHER (a float scatter-add of the
+        tail sums measured 2x slower end-to-end: XLA schedules it
+        pathologically inside the fused backward).
     num_pairs, overflow: () int32 diagnostics.
     """
 
@@ -70,7 +73,7 @@ class TileBinning(NamedTuple):
     grad_offsets: jax.Array
     main_slot: jax.Array
     tail_slot: jax.Array
-    tail_gauss: jax.Array
+    tail_of_gauss: jax.Array
     num_pairs: jax.Array
     overflow: jax.Array
 
@@ -97,7 +100,7 @@ def bin_gaussians(
     max_span: int = 3,
     align: int = 128,
     max_pairs: int | None = None,
-    main_width: int = 4,
+    main_width: int = 6,
     tail_capacity: int | None = None,
 ) -> TileBinning:
     """Build depth-ordered, tile-grouped pair lists (see module doc).
@@ -109,7 +112,7 @@ def bin_gaussians(
     main_width: prefix width of the backward-glue slot table (pairs
         j < main_width per gaussian).
     tail_capacity: static row budget for gaussians spanning more than
-        main_width tiles (default N // 4); overfull tails lose only
+        main_width tiles (default N // 16, aligned); overfull tails lose only
         their gradient contributions and are counted in `overflow`.
     """
     n = g.means2d.shape[0]
@@ -209,7 +212,7 @@ def bin_gaussians(
     if tw > 0:
         tc = tail_capacity
         if tc is None:
-            tc = max(align, -(-n // 4 // align) * align)
+            tc = max(align, -(-n // 16 // align) * align)
         tc = min(tc, n)
         big = span > mw
         nbig = jnp.sum(big.astype(jnp.int32))
@@ -217,13 +220,17 @@ def bin_gaussians(
                             stable=True)
         tail_rows = order[:tc]
         row_ok = jnp.arange(tc, dtype=jnp.int32) < nbig
-        tail_gauss = jnp.where(row_ok, tail_rows, n).astype(jnp.int32)
         tail_slot = jnp.where(row_ok[:, None], ps[tail_rows, mw:], spare)
+        # inverse map gaussian -> tail row (tc = "no tail" sentinel);
+        # int scatter of tc elements at bin time, so the glue merge is
+        # a pure gather
+        rank = jnp.cumsum(big.astype(jnp.int32)) - 1
+        tail_of_gauss = jnp.where(big & (rank < tc), rank, tc).astype(
+            jnp.int32)
         overflow = overflow + jnp.sum(
-            jnp.where(big & (jnp.cumsum(big.astype(jnp.int32)) - 1 >= tc),
-                      span - mw, 0))
+            jnp.where(big & (rank >= tc), span - mw, 0))
     else:
-        tail_gauss = jnp.full((0,), n, jnp.int32)
+        tail_of_gauss = jnp.zeros((n,), jnp.int32)
         tail_slot = jnp.zeros((0, 0), jnp.int32)
 
     return TileBinning(
@@ -232,7 +239,7 @@ def bin_gaussians(
         grad_offsets=grad_offsets,
         main_slot=main_slot,
         tail_slot=tail_slot,
-        tail_gauss=tail_gauss,
+        tail_of_gauss=tail_of_gauss,
         num_pairs=num_pairs,
         overflow=overflow,
         pair_slot_capacity=pg,

@@ -87,16 +87,16 @@ def test_glue_slot_tables_grad_layout():
     sg = np.asarray(b.sorted_gauss)
     main = np.asarray(b.main_slot)
     tail = np.asarray(b.tail_slot)
-    tgauss = np.asarray(b.tail_gauss)
+    tof = np.asarray(b.tail_of_gauss)
+    tc = tail.shape[0]
     spare = b.pair_slot_capacity - 1
 
     # per-gaussian multiset of non-spare slots across both tables
     slots_of = {gid: [] for gid in range(n)}
     for gid in range(n):
         slots_of[gid] += [s for s in main[gid] if s != spare]
-    for r in range(tail.shape[0]):
-        if tgauss[r] < n:
-            slots_of[int(tgauss[r])] += [s for s in tail[r] if s != spare]
+        if tof[gid] < tc:
+            slots_of[gid] += [s for s in tail[tof[gid]] if s != spare]
 
     seen = set()
     total = 0
@@ -123,6 +123,7 @@ def test_glue_tail_overflow_counted():
     assert int(full.overflow) == 0
     tight = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
                           align=8, main_width=2, tail_capacity=8)
-    nbig = int((np.asarray(full.tail_gauss) < means.shape[0]).sum())
+    nbig = int((np.asarray(full.tail_of_gauss)
+                < full.tail_slot.shape[0]).sum())
     if nbig > 8:
         assert int(tight.overflow) > 0
