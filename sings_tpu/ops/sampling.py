@@ -3,15 +3,24 @@
 Equivalent to torch.nn.functional.grid_sample(mode='bilinear',
 padding_mode='border', align_corners=True) on 2D grids, which is what the
 reference triplane uses (sings/rec/models/modules/hexplane.py:44-70).
-Autodiff provides gradients to both the grid values and the coordinates.
+Gradients flow to both the grid values and the coordinates.
 
-TPU shape of the hot path: the four corner taps of every query are
-fetched with a SINGLE row gather from a corner-stacked table
-(H-1, W-1, 4C) built by dense shifted slices. Under autodiff the
-backward becomes ONE (N, 4C) row scatter-add plus four dense shifted
-adds — ~4x fewer scattered rows than the naive four-tap formulation,
-and random row scatters at ~10ns/row are the dominant cost of the
-triplane backward (docs/PERF.md, scripts/profile_scatter.py).
+TPU shape of the hot path:
+
+  * forward: the four corner taps of every query are fetched with a
+    SINGLE row gather from a corner-stacked table (H-1, W-1, 4C) built
+    by dense shifted slices — ~2.6ns/row vs ~40ns/row for the random
+    row scatter the naive formulation costs in backward.
+  * backward to the grid (custom VJP): no float scatter at all. The
+    per-query corner contributions are sorted by cell id, reduced with
+    a blocked-matmul inclusive cumsum, and read back per cell as a
+    boundary difference (sort + gathers replace the scatter-add; the
+    same lesson as the rasterizer binning, see ops/rasterizer/tiles.py).
+    Measured ~4x faster than the autodiff row scatter-add at triplane
+    shapes (scripts/profile_scatter.py, profile_triplane.py).
+  * backward to the coordinates: a nested jax.vjp through the bilinear
+    weight path (the integer corner indices carry no gradient), so it
+    is bit-identical to plain autodiff of the forward.
 """
 from __future__ import annotations
 
@@ -37,6 +46,127 @@ def _corner_coords(coords, h, w):
     return x0.astype(jnp.int32), y0.astype(jnp.int32), tx, ty
 
 
+def _weights(tx, ty):
+    """(N, 4) bilinear corner weights [w00, w01, w10, w11]."""
+    return jnp.stack(
+        [(1 - tx) * (1 - ty), tx * (1 - ty), (1 - tx) * ty, tx * ty], axis=1
+    )
+
+
+def _corner_table(grid):
+    """(C, H, W) -> corner-stacked ((H-1)*(W-1), 4C) gather table."""
+    c, h, w = grid.shape
+    g = grid.transpose(1, 2, 0)  # (H, W, C), channels minor
+    return jnp.concatenate(
+        [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=-1
+    ).reshape((h - 1) * (w - 1), 4 * c)
+
+
+def _sample_main(grid, coords):
+    c, h, w = grid.shape
+    x0i, y0i, tx, ty = _corner_coords(coords, h, w)
+    g4 = _corner_table(grid)
+    v = g4[y0i * (w - 1) + x0i].reshape(-1, 4, c)  # one (N, 4C) row gather
+    return jnp.einsum("nkc,nk->nc", v, _weights(tx, ty))
+
+
+def _sample_degenerate(grid, coords):
+    """h < 2 or w < 2: per-tap gathers (tiny planes, autodiff backward)."""
+    c, h, w = grid.shape
+    x0i, y0i, tx, ty = _corner_coords(coords, h, w)
+    flat = grid.reshape(c, h * w)
+    idx00 = y0i * w + x0i
+    g00 = flat[:, idx00]
+    g01 = flat[:, jnp.minimum(idx00 + 1, h * w - 1)]
+    g10 = flat[:, jnp.minimum(idx00 + w, h * w - 1)]
+    g11 = flat[:, jnp.minimum(idx00 + w + 1, h * w - 1)]
+    top = g00 * (1 - tx) + g01 * tx
+    bot = g10 * (1 - tx) + g11 * tx
+    return (top * (1 - ty) + bot * ty).T
+
+
+def _cumsum_rows(x, block: int = 512):
+    """Inclusive cumsum over axis 0 of (N, D), MXU-blocked.
+
+    XLA lowers a long cumsum to log2(N) shifted-add passes over the
+    whole array (~17 passes at 51k rows); one strictly-triangular
+    matmul per block plus a tiny carry chain is ~4x less HBM traffic.
+    """
+    n, d = x.shape
+    if n <= block:
+        tri = jnp.tril(jnp.ones((n, n), x.dtype))
+        return jnp.dot(tri, x, preferred_element_type=x.dtype)
+    nb = -(-n // block)
+    xp = jnp.pad(x, ((0, nb * block - n), (0, 0))).reshape(nb, block, d)
+    tri = jnp.tril(jnp.ones((block, block), x.dtype))
+    intra = jnp.einsum("ij,bjd->bid", tri, xp,
+                       preferred_element_type=x.dtype)
+    carry = jnp.cumsum(intra[:, -1, :], axis=0)  # (nb, d), tiny
+    carry = jnp.concatenate([jnp.zeros((1, d), x.dtype), carry[:-1]], 0)
+    return (intra + carry[:, None, :]).reshape(nb * block, d)[:n]
+
+
+@jax.custom_vjp
+def _sample_cvjp(grid, coords):
+    return _sample_main(grid, coords)
+
+
+def _sample_fwd(grid, coords):
+    return _sample_main(grid, coords), (grid, coords)
+
+
+def _sample_bwd(res, gout):
+    grid, coords = res
+    c, h, w = grid.shape
+    n = coords.shape[0]
+    ncell = (h - 1) * (w - 1)
+    x0i, y0i, _, _ = _corner_coords(coords, h, w)
+    cell = y0i * (w - 1) + x0i
+
+    # --- coords gradient: autodiff through the weight path only (the
+    # integer indices are piecewise constant) -> identical to plain
+    # autodiff of the forward
+    g4 = _corner_table(grid)
+    v = g4[cell].reshape(n, 4, c)
+
+    def weight_path(coords):
+        _, _, tx, ty = _corner_coords(coords, h, w)
+        return jnp.einsum("nkc,nk->nc", v, _weights(tx, ty))
+
+    _, pullback = jax.vjp(weight_path, coords)
+    (d_coords,) = pullback(gout)
+
+    # --- grid gradient: sorted segment reduction, no float scatter.
+    # contribution of query n to its cell's 4C corner row:
+    _, _, tx, ty = _corner_coords(coords, h, w)
+    wv = (_weights(tx, ty)[:, :, None] * gout[:, None, :]).reshape(n, 4 * c)
+    skey, order = jax.lax.sort_key_val(cell, jnp.arange(n, dtype=jnp.int32))
+    csum = _cumsum_rows(wv[order])
+    csum = jnp.concatenate([jnp.zeros((1, 4 * c), csum.dtype), csum], 0)
+    # ends[r] = #queries with cell <= r; cell sum = csum[ends[r]] -
+    # csum[ends[r-1]] (method='sort': one merge-sort instead of 17
+    # binary-search gather rounds over ncell queries)
+    ends = jnp.searchsorted(
+        skey, jnp.arange(1, ncell + 1, dtype=jnp.int32), side="left",
+        method="sort").astype(jnp.int32)
+    gathered = csum[ends]
+    cellsum = gathered - jnp.concatenate(
+        [jnp.zeros((1, 4 * c), gathered.dtype), gathered[:-1]], 0)
+    g4grad = cellsum.reshape(h - 1, w - 1, 4, c)
+
+    # unstack the 4 corners back onto the (H, W, C) grid: dense
+    # static-slice adds (the transpose of _corner_table's slicing)
+    gg = jnp.zeros((h, w, c), gout.dtype)
+    gg = gg.at[:-1, :-1].add(g4grad[:, :, 0])
+    gg = gg.at[:-1, 1:].add(g4grad[:, :, 1])
+    gg = gg.at[1:, :-1].add(g4grad[:, :, 2])
+    gg = gg.at[1:, 1:].add(g4grad[:, :, 3])
+    return gg.transpose(2, 0, 1), d_coords
+
+
+_sample_cvjp.defvjp(_sample_fwd, _sample_bwd)
+
+
 def grid_sample_2d(grid: jax.Array, coords: jax.Array) -> jax.Array:
     """Sample a 2D feature grid at normalized coordinates.
 
@@ -46,28 +176,7 @@ def grid_sample_2d(grid: jax.Array, coords: jax.Array) -> jax.Array:
               coords[:, 1] = y (indexes H)  — torch grid_sample convention.
     Returns: (N, C)
     """
-    c, h, w = grid.shape
-    x0i, y0i, tx, ty = _corner_coords(coords, h, w)
-
-    if h < 2 or w < 2:  # degenerate planes: fall back to per-tap gathers
-        flat = grid.reshape(c, h * w)
-        idx00 = y0i * w + x0i
-        g00 = flat[:, idx00]
-        g01 = flat[:, jnp.minimum(idx00 + 1, h * w - 1)]
-        g10 = flat[:, jnp.minimum(idx00 + w, h * w - 1)]
-        g11 = flat[:, jnp.minimum(idx00 + w + 1, h * w - 1)]
-        top = g00 * (1 - tx) + g01 * tx
-        bot = g10 * (1 - tx) + g11 * tx
-        return (top * (1 - ty) + bot * ty).T
-
-    # corner-stacked table: row (y0, x0) holds [g00 | g01 | g10 | g11]
-    g = grid.transpose(1, 2, 0)  # (H, W, C), channels minor
-    g4 = jnp.concatenate(
-        [g[:-1, :-1], g[:-1, 1:], g[1:, :-1], g[1:, 1:]], axis=-1
-    ).reshape((h - 1) * (w - 1), 4 * c)
-    v = g4[y0i * (w - 1) + x0i].reshape(-1, 4, c)  # one (N, 4C) row gather
-
-    wgt = jnp.stack(
-        [(1 - tx) * (1 - ty), tx * (1 - ty), (1 - tx) * ty, tx * ty], axis=1
-    )
-    return jnp.einsum("nkc,nk->nc", v, wgt)
+    _, h, w = grid.shape
+    if h < 2 or w < 2:
+        return _sample_degenerate(grid, coords)
+    return _sample_cvjp(grid, coords)

@@ -104,6 +104,56 @@ def test_grid_sample_grads_flow_to_coords_and_grid():
     assert float(jnp.abs(g_coords).sum()) > 0
 
 
+def _grid_sample_autodiff(grid, coords):
+    """Naive per-tap formulation: the plain-autodiff ground truth for
+    the custom-VJP backward of grid_sample_2d."""
+    c, h, w = grid.shape
+    x = (coords[:, 0] + 1.0) * 0.5 * (w - 1)
+    y = (coords[:, 1] + 1.0) * 0.5 * (h - 1)
+    x = x.clip(0.0, w - 1)
+    y = y.clip(0.0, h - 1)
+    x0 = jnp.floor(x).clip(0, w - 2)
+    y0 = jnp.floor(y).clip(0, h - 2)
+    tx, ty = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    flat = grid.reshape(c, h * w)
+    idx00 = y0i * w + x0i
+    g00, g01 = flat[:, idx00], flat[:, idx00 + 1]
+    g10, g11 = flat[:, idx00 + w], flat[:, idx00 + w + 1]
+    top = g00 * (1 - tx) + g01 * tx
+    bot = g10 * (1 - tx) + g11 * tx
+    return (top * (1 - ty) + bot * ty).T
+
+
+def test_grid_sample_custom_vjp_matches_autodiff():
+    rng = np.random.RandomState(7)
+    grid = jnp.asarray(rng.randn(3, 9, 13).astype(np.float32))
+    # many duplicate cells + border clamps + exact node hits
+    coords = np.concatenate([
+        rng.uniform(-1.3, 1.3, (400, 2)),
+        np.tile(rng.uniform(-1, 1, (1, 2)), (50, 1)),
+        np.array([[1.0, 1.0], [-1.0, -1.0], [0.0, 0.0]]),
+    ]).astype(np.float32)
+    coords = jnp.asarray(coords)
+    gout = jnp.asarray(rng.randn(coords.shape[0], 3).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(grid_sample_2d(grid, coords)),
+        np.asarray(_grid_sample_autodiff(grid, coords)), atol=1e-5)
+
+    def loss(fn, g, c):
+        return jnp.sum(fn(g, c) * gout)
+
+    g_new = jax.grad(lambda g, c: loss(grid_sample_2d, g, c),
+                     argnums=(0, 1))(grid, coords)
+    g_ref = jax.grad(lambda g, c: loss(_grid_sample_autodiff, g, c),
+                     argnums=(0, 1))(grid, coords)
+    np.testing.assert_allclose(np.asarray(g_new[0]), np.asarray(g_ref[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_new[1]), np.asarray(g_ref[1]),
+                               atol=2e-4)
+
+
 def test_knn_small():
     pts = jnp.asarray([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [10, 10, 10]])
     d, idx = knn(pts, k=2, block=4)
