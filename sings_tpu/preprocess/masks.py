@@ -185,3 +185,24 @@ def run_sam2_video(
         for f in glob.glob(os.path.join(video_dir, "*.jpg")):
             os.remove(f)
     return out_dir
+
+
+def main(argv=None):
+    """CLI: sings-extract-masks --video-dir images/ --keypoints
+    alphapose-results.json [--out-dir masks/]."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--video-dir", required=True,
+                    help="directory of extracted frames")
+    ap.add_argument("--keypoints", required=True,
+                    help="AlphaPose halpe-26 results json")
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--erode-size", type=int, default=1)
+    ap.add_argument("--all-frames", action="store_true",
+                    help="prompt every frame instead of the first")
+    args = ap.parse_args(argv)
+    out = run_sam2_video(
+        args.video_dir, args.keypoints, args.out_dir,
+        only_first_frame=not args.all_frames, erode_size=args.erode_size)
+    print(out)
