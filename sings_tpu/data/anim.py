@@ -51,16 +51,37 @@ def load_anim_dataset(
     motion_end: int = -1,
     motion_skip: int = 1,
     render_size=(512, 512),
+    rebase: bool | None = None,
+    fx: float = 5000.0,
+    fy: float = 5000.0,
 ) -> AnimDataset:
+    """Build the animation dataset (AnimDataset_opt.py:27-66).
+
+    rebase: re-root the trajectory at frame 0 and push z+20
+        (motion_utils.rebase_smpl). The reference hardcodes True, but
+        composing that +20-z shift with the AMASS manual alignment
+        (Rx(90deg) AFTER the shift, sings_hybrid.py:546-552) maps the
+        body to y ~= -10 — a ~45deg off-axis miss of the fixed
+        fx=fy=5000 camera, i.e. the released AMASS path renders empty
+        frames (derivable from motion_utils.py:13-15,50-52 alone; the
+        repo's own demo motion is type 'custom', whose alignment is
+        near-identity and unaffected). Default: reference-verbatim
+        True for 'custom', False for 'AMASS' so AMASS motions actually
+        land in frame (documented deviation, PARITY.md).
+    fx, fy: synthetic camera focals (reference fixes 5000 at 512^2;
+        scale them with render_size to keep the subject framed).
+    """
+    if rebase is None:
+        rebase = motion_type != "AMASS"
     smpl = load_motion(motion_src, motion_type, motion_start, motion_end,
-                       motion_skip, rebase=True)
+                       motion_skip, rebase=rebase)
     trans, rot, scale = manual_alignment(motion_type)
     rotmat = euler_to_matrix(*rot)
     import os
 
     return AnimDataset(
         smpl=smpl,
-        camera=get_anim_camera(render_size),
+        camera=get_anim_camera(render_size, fx=fx, fy=fy),
         ext_trans=trans,
         ext_rotmat=rotmat,
         ext_scale=np.array([scale], np.float32),

@@ -109,6 +109,9 @@ class Trainer:
                 ac.get("motion_start", 0), ac.get("motion_end", -1),
                 ac.get("motion_skip", 1),
                 tuple(ac.get("render_size", (512, 512))),
+                rebase=ac.get("motion_rebase"),
+                fx=float(ac.get("fx", 5000.0)),
+                fy=float(ac.get("fy", 5000.0)),
             )
 
         # ---------------- body template
@@ -734,7 +737,11 @@ class Trainer:
                         sh_degree=3, bg=self.bg_color,
                         alive=buffers.alive > 0.5, backend="pallas",
                         **self.raster_kw)
-                    return jnp.clip(pkg["render"], 0.0, 1.0)
+                    # quantize on device: the tunneled readback is
+                    # bandwidth-bound, uint8 HWC is 4x less than f32
+                    img = jnp.clip(pkg["render"], 0.0, 1.0)
+                    return jnp.round(img.transpose(1, 2, 0) * 255.0
+                                     ).astype(jnp.uint8)
 
                 return jax.lax.map(
                     one, (out["xyz"], out["scales"], out["rotq"],
@@ -742,31 +749,56 @@ class Trainer:
 
             self._anim_render_j = jax.jit(render_chunk)
 
-        t_start = time.time()
-        frames_done = 0
-        for start in range(0, num_frames, chunk_size):
-            chunk = ds.get_chunk(start, start + chunk_size)
-            b = chunk["body_pose"].shape[0]
-            if b < chunk_size:  # pad to static shape, drop extras below
-                pad = chunk_size - b
-                chunk = {
-                    k: (tuple(np.concatenate(
-                        [x, np.repeat(x[-1:], pad, 0)]) for x in v)
-                        if isinstance(v, tuple)
-                        else np.concatenate([v, np.repeat(v[-1:], pad, 0)]))
-                    for k, v in chunk.items()
-                }
-            chunk_j = jax.tree.map(jnp.asarray, chunk)
-            imgs = np.asarray(self._anim_render_j(
-                self.params, self.buffers, gs_attrs, chunk_j,
-                jnp.asarray(self.active_sh_degree)))
+        import concurrent.futures as cf
+
+        def encode(args):
+            imgs, start, b = args
             from PIL import Image
 
             for j in range(b):
-                Image.fromarray(
-                    (imgs[j].transpose(1, 2, 0) * 255).astype(np.uint8)
-                ).save(os.path.join(out_dir, f"{start + j:05d}.jpg"))
-                frames_done += 1
+                Image.fromarray(imgs[j]).save(
+                    os.path.join(out_dir, f"{start + j:05d}.jpg"))
+            return b
+
+        t_start = time.time()
+        frames_done = 0
+        pending: list[tuple] = []  # dispatched, unread chunks
+        encodes = []
+        with cf.ThreadPoolExecutor(max_workers=4) as pool:
+            def drain(limit):
+                nonlocal frames_done
+                while len(pending) > limit:
+                    dev_imgs, s0, b0 = pending.pop(0)
+                    encodes.append(pool.submit(
+                        encode, (np.asarray(dev_imgs), s0, b0)))
+                    frames_done += b0
+
+            for start in range(0, num_frames, chunk_size):
+                chunk = ds.get_chunk(start, start + chunk_size)
+                # the dataset may hold more frames than requested;
+                # clamp so exactly num_frames images are written
+                b = min(chunk["body_pose"].shape[0], num_frames - start)
+                if b < chunk_size:  # pad to static shape, drop extras below
+                    def fit(x):
+                        x = x[:b]
+                        return np.concatenate(
+                            [x, np.repeat(x[-1:], chunk_size - b, 0)])
+
+                    chunk = {
+                        k: (tuple(fit(x) for x in v)
+                            if isinstance(v, tuple) else fit(v))
+                        for k, v in chunk.items()
+                    }
+                chunk_j = jax.tree.map(jnp.asarray, chunk)
+                # dispatch is async: chunk k+1 renders while chunk k is
+                # read back over the tunnel and JPEG-encoded
+                pending.append((self._anim_render_j(
+                    self.params, self.buffers, gs_attrs, chunk_j,
+                    jnp.asarray(self.active_sh_degree)), start, b))
+                drain(1)
+            drain(0)
+            for f in encodes:
+                f.result()
         dt = time.time() - t_start
         fps = frames_done / max(dt, 1e-9)
         print(f"[anim] {frames_done} frames in {dt:.2f}s ({fps:.2f} fps)",
