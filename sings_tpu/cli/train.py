@@ -42,8 +42,11 @@ def main(argv=None):
     trainer.visualize("final")
     if trainer.anim_dataset is not None:
         trainer.animate_chunk(iter_s="final")
-    trainer.render_canonical("final",
-                             nframes=cfg.human.canon_nframes)
+    # the reference renders both canonical poses at the end
+    # (train_avatar.py:76-77)
+    for pose_type in ("a_pose", "da_pose"):
+        trainer.render_canonical("final", nframes=cfg.human.canon_nframes,
+                                 pose_type=pose_type)
     print("final:", result)
     return result
 

@@ -683,8 +683,12 @@ class Trainer:
         self.eval_metrics[iter_s] = result
         print(f"[val {iter_s}] " + " ".join(
             f"{k}={v:.4f}" for k, v in result.items()), flush=True)
+        # reference naming: results_{train|eval}.json keyed on cfg.eval
+        # (train_avatar.py:70-72), NOT cfg.mode (which is the model
+        # family, "human")
+        run_mode = "eval" if self.cfg.get("eval") else "train"
         with open(os.path.join(self.logdir,
-                               f"results_{self.cfg.mode}.json"), "w") as fh:
+                               f"results_{run_mode}.json"), "w") as fh:
             json.dump(self.eval_metrics, fh, indent=2)
         return result
 
@@ -811,11 +815,14 @@ class Trainer:
             create_video(out_dir, video, fps=20, ext="jpg")
         return fps
 
-    def render_canonical(self, iter_s="final", nframes=10, img_size=256):
+    def render_canonical(self, iter_s="final", nframes=10, img_size=256,
+                         pose_type=None):
+        """Turntable render in a static pose (gs_trainer.py:757-851;
+        pose_type defaults to cfg.human.canon_pose_type like :759)."""
+        pose_type = pose_type or self.cfg.human.canon_pose_type
         cams = get_rotating_cameras(img_size=img_size, nframes=nframes)
         static = get_smpl_static_params(
-            np.asarray(self.params.betas),
-            pose_type=self.cfg.human.canon_pose_type)
+            np.asarray(self.params.betas), pose_type=pose_type)
         out_dir = os.path.join(self.logdir, "canon")
         for i, cam in enumerate(cams):
             img, _ = self._render_eval(static, camera=cam, bg=self.bg_color)
@@ -824,7 +831,7 @@ class Trainer:
             Image.fromarray(
                 (np.asarray(img).transpose(1, 2, 0).clip(0, 1) * 255)
                 .astype(np.uint8)
-            ).save(os.path.join(out_dir, f"{i:05d}.png"))
+            ).save(os.path.join(out_dir, f"{pose_type}_{i:05d}.png"))
 
     def visualize(self, iter_s):
         out = avatar_forward(
