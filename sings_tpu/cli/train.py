@@ -40,6 +40,7 @@ def main(argv=None):
     save_config(cfg, os.path.join(trainer.logdir, "config_train.yaml"))
     result = trainer.train()
     trainer.visualize("final")
+    trainer.save_splat_file()  # reference train_avatar.py:66 save_splat
     if trainer.anim_dataset is not None:
         trainer.animate_chunk(iter_s="final")
     # the reference renders both canonical poses at the end
