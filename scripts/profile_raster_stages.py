@@ -60,7 +60,7 @@ fwd_out = jax.jit(lambda f, o: composite_fwd(
     f, o, tile=tile, chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty))(
         feats, binning.tile_offsets)
 gout = jnp.ones((ntx * nty, 8, tile * tile), jnp.float32)
-grad_cap = int(binning.main_slot_capacity)
+grad_cap = int(binning.pair_slot_capacity)
 
 # --- timings ---
 t("preprocess fwd", lambda *a: pre(*a).colors, means, scales, opac, shs)
@@ -93,9 +93,22 @@ t("composite bwd kernel", lambda f, o, go, fo, g: composite_bwd(
   feats, binning.tile_offsets, binning.grad_offsets, fwd_out, gout)
 
 pair_grads = jnp.asarray(rng.randn(grad_cap, 9).astype(np.float32))
-t("bwd glue (pair gather + sum)",
-  lambda pg, ps: pg[ps].reshape(n, -1, 9).sum(1), pair_grads,
-  binning.main_slot)
+
+
+def glue(pg, main_slot, tail_slot, tail_of_gauss):
+    mw = main_slot.shape[1]
+    out = pg[main_slot.reshape(-1)].reshape(n, mw, 9).sum(axis=1)
+    tc, tw = tail_slot.shape
+    if tw > 0:
+        pgt = pg[tail_slot.reshape(-1)].reshape(tc, tw, 9)
+        tail_sums = jnp.concatenate(
+            [pgt.sum(axis=1), jnp.zeros((1, 9), pgt.dtype)], axis=0)
+        out = out + tail_sums[tail_of_gauss]
+    return out
+
+
+t("bwd glue (main + tail gather-merge)", glue, pair_grads,
+  binning.main_slot, binning.tail_slot, binning.tail_of_gauss)
 
 
 # --- end to end ---

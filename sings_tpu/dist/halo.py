@@ -34,13 +34,18 @@ def halo_exchange_rows(x: jax.Array, axis_name: str, halo: int) -> jax.Array:
     return jnp.concatenate([from_prev, x, from_next], axis=1)
 
 
-def strip_ssim(pred: jax.Array, gt: jax.Array, axis_name: str,
-               window_size: int = 11, sigma: float = 1.5) -> jax.Array:
-    """Mean SSIM of a strip-sharded image pair, exact vs the full image.
+def strip_ssim_local(pred: jax.Array, gt: jax.Array, axis_name: str,
+                     window_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """This rank's LOCAL contribution to the full-image mean SSIM.
 
-    pred/gt: (C, H_strip, W) local strips. Computes on halo-padded
-    strips, crops the halo region, and pmean-weights by strip pixels so
-    the result equals single-device ssim(pred_full, gt_full).
+    Rank-sum of the result equals single-device ssim(pred_full, gt_full)
+    (equal strip heights assumed). Crucially there is NO psum/pmean on
+    the return value: under shard_map(check_rep=False) the transpose of
+    psum is psum — differentiating through a psum of a param-dependent
+    value overcounts gradients by the axis size. Cross-strip coupling
+    flows only through the halo ppermutes, whose transpose is exact.
+    Callers inside jax.grad must use this local form and psum OUTSIDE
+    the differentiated function (see dist/train_sharded.py).
     """
     from ..ops.ssim import _band_matrix, _blur
 
@@ -63,4 +68,17 @@ def strip_ssim(pred: jax.Array, gt: jax.Array, axis_name: str,
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
     core = ssim_map[:, halo:-halo]  # this rank's rows only
-    return jax.lax.pmean(core.mean(), axis_name)
+    return core.mean() / jax.lax.axis_size(axis_name)
+
+
+def strip_ssim(pred: jax.Array, gt: jax.Array, axis_name: str,
+               window_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM of a strip-sharded image pair, exact vs the full image.
+
+    Value-only convenience (psum of the local contributions) — do NOT
+    differentiate through this inside shard_map(check_rep=False); use
+    strip_ssim_local (see its docstring).
+    """
+    return jax.lax.psum(
+        strip_ssim_local(pred, gt, axis_name, window_size, sigma),
+        axis_name)

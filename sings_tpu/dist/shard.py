@@ -103,28 +103,6 @@ def make_sharded_step(mesh: Mesh, loss_strip_fn, n_strips: int):
     return sharded
 
 
-def shard_gaussian_decode(decode_fn, capacity: int):
-    """Split the gaussian axis over "gs", decode locally, all_gather.
-
-    decode_fn(xyz_shard) -> pytree of (shard, ...) arrays. Returns a
-    function of the full (capacity, 3) xyz producing full-size outputs,
-    with compute sharded over the gs axis. Must run inside shard_map
-    with a "gs" axis.
-    """
-    def wrapped(xyz):
-        gs = jax.lax.axis_size("gs")
-        rank = jax.lax.axis_index("gs")
-        shard = capacity // gs
-        local = jax.lax.dynamic_slice_in_dim(xyz, rank * shard, shard)
-        out_local = decode_fn(local)
-        return jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "gs", axis=0).reshape(
-                (capacity,) + x.shape[1:]),
-            out_local,
-        )
-    return wrapped
-
-
 def replicate(tree: Any, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 

@@ -115,9 +115,16 @@ def quaternion_to_axis_angle(quat: jax.Array) -> jax.Array:
     q = jnp.where(q[..., :1] < 0, -q, q)
     w = q[..., 0].clip(-1.0, 1.0)
     xyz = q[..., 1:]
-    norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    # double-where norm: jnp.linalg.norm's backward divides by the norm,
+    # so at xyz == 0 (identity rotation) even a zero cotangent turns
+    # into NaN — keep the singular input out of the sqrt graph entirely
+    sq = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    small = sq < 1e-14
+    norm = jnp.where(small, 0.0, jnp.sqrt(jnp.where(small, 1.0, sq)))
     angle = 2.0 * jnp.arctan2(norm[..., 0], w)[..., None]
-    scale = jnp.where(norm < 1e-8, 2.0, angle / jnp.maximum(norm, 1e-12))
+    # near 0: angle/norm -> 2/w (w ~ 1 there; clip guards the dead branch)
+    scale = jnp.where(small, 2.0 / w[..., None].clip(0.5),
+                      angle / jnp.where(small, 1.0, norm))
     return xyz * scale
 
 

@@ -26,9 +26,23 @@ def _flatten(tree: Any, prefix: str, out: dict):
 
 def _unflatten(template: Any, prefix: str, data) -> Any:
     leaves, treedef = jax.tree_util.tree_flatten(template)
-    new_leaves = [jnp.asarray(data[f"{prefix}__{i}"])
-                  for i in range(len(leaves))]
+    new_leaves = []
+    for i, tmpl_leaf in enumerate(leaves):
+        arr = data[f"{prefix}__{i}"]
+        tmpl_shape = jnp.shape(tmpl_leaf)
+        if arr.shape != tmpl_shape:
+            # e.g. a checkpoint written at a different gaussian capacity
+            # (reference handles this with a graceful fallback,
+            # sings_hybrid.py:201-237 — we surface it to the caller)
+            raise CheckpointShapeMismatch(
+                f"{prefix} leaf {i}: checkpoint {arr.shape} vs "
+                f"current {tmpl_shape}")
+        new_leaves.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class CheckpointShapeMismatch(ValueError):
+    """Checkpoint arrays don't match the current model configuration."""
 
 
 def save_checkpoint(path: str, *, params, buffers, opt_state, step: int,

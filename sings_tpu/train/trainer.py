@@ -265,11 +265,17 @@ class Trainer:
         self.density_cfg = dict(dc)
         self.eval_metrics = {}
 
-        # auto-resume
+        # auto-resume (graceful on shape mismatch, like the reference's
+        # load_state_dict fallback, sings_hybrid.py:201-237)
         ckpt = hcfg.ckpt or latest_checkpoint(self.logdir_ckpt)
+        loaded = False
         if ckpt and os.path.exists(str(ckpt)):
-            self.load_ckpt(str(ckpt))
-        elif mode == "train" and not cfg.eval:
+            loaded = self.load_ckpt(str(ckpt))
+            if not loaded and (mode != "train" or cfg.eval):
+                raise RuntimeError(
+                    f"checkpoint {ckpt} is incompatible with the current "
+                    "config and this is an eval/animate run")
+        if not loaded and mode == "train" and not cfg.eval:
             self._init_attrs()
 
     # ------------------------------------------------------------------
@@ -864,10 +870,18 @@ class Trainer:
             active_sh_degree=self.active_sh_degree)
         print(f"[ckpt] saved {path}", flush=True)
 
-    def load_ckpt(self, path: str):
-        res = load_checkpoint(
-            path, params_template=self.params,
-            buffers_template=self.buffers, opt_template=self.opt_state)
+    def load_ckpt(self, path: str) -> bool:
+        from .checkpoint import CheckpointShapeMismatch
+
+        try:
+            res = load_checkpoint(
+                path, params_template=self.params,
+                buffers_template=self.buffers, opt_template=self.opt_state)
+        except CheckpointShapeMismatch as e:
+            print(f"[ckpt] IGNORING {path}: {e} (likely written with a "
+                  "different capacity/config) — training from scratch",
+                  flush=True)
+            return False
         self.params = res["params"]
         self.buffers = res["buffers"]
         self.opt_state = res["opt_state"]
@@ -875,3 +889,4 @@ class Trainer:
         self.active_sh_degree = res["active_sh_degree"]
         self._rebuild_laplacians()
         print(f"[ckpt] loaded {path} (step {self.step})", flush=True)
+        return True

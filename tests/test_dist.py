@@ -93,6 +93,90 @@ def test_sharded_grads_match_single_device():
         np.asarray(p4.xyz), np.asarray(p4b.xyz), atol=1e-7)
 
 
+def test_gs_sharded_decode_matches_strip_oracle():
+    """The gs-sharded step (sliced decode + all_gather + halo SSIM +
+    local-loss psum) reproduces a single-device oracle that computes the
+    SAME strip decomposition with a full decode.
+
+    The oracle is strip-decomposed (not the full-image render) because
+    the T_EPS early-exit makes deep-overlap gradients discretely
+    sensitive to the tile decomposition; the sharding machinery itself
+    must be exact. gs=1 vs gs=4 loss VALUES are also compared (2e-4)."""
+    import __graft_entry__ as ge
+    from sings_tpu.dist.shard import (camera_strip, make_mesh, replicate,
+                                      shard_batch)
+    from sings_tpu.dist.train_sharded import make_sharded_train_step
+    from sings_tpu.model.avatar import avatar_forward
+    from sings_tpu.ops.ssim import ssim
+    from sings_tpu.train.optim import LRConfig, TrainFlags, make_optimizer
+
+    tpl, dt, cache, cfg, state, camera = ge._tiny_setup()
+    # max_span=8 >= the tile grid: no center-cropping, so strip and
+    # full renders see identical per-tile pair lists
+    kw = dict(ge._raster_kw(), max_span=8)
+    tx = make_optimizer(LRConfig(), TrainFlags())
+    rng = jax.random.PRNGKey(3)
+    h, w = camera.height, camera.width
+    frame_rgb = jnp.zeros((3, h, w)).at[1].set(0.4)
+    mask = jnp.ones((h, w))
+
+    def run(gs):
+        mesh = make_mesh(gs, dp=1)
+        step = make_sharded_train_step(mesh, cfg, dt, camera, tx, kw)
+        batch = {
+            "rgb": frame_rgb[None], "mask": mask[None],
+            "idx": jnp.zeros((1,), jnp.int32),
+            "smpl_scale": jnp.ones((1, 1)),
+        }
+        with mesh:
+            loss, grads = step.grads_fn(
+                replicate(state.params, mesh), replicate(state.buffers, mesh),
+                replicate(cache, mesh), shard_batch(batch, mesh), rng)
+        return float(loss), jax.tree.map(np.asarray, grads)
+
+    # single-device oracle: same 4-strip decomposition, full decode
+    bg = jax.random.uniform(jax.random.fold_in(rng, 0), (3,))
+    buffers = state.buffers
+    sh = h // 4
+
+    def oracle_loss(params):
+        out = avatar_forward(params, buffers, cfg, dt, cache, dataset_idx=0,
+                             smpl_scale=jnp.ones(1), eval_mode=True)
+        mask_area = mask.sum()
+        l1 = 0.0
+        strips = []
+        for i in range(4):
+            pkg = rasterize(
+                out["xyz"], out["scales"], out["rotq"], out["opacity"][:, 0],
+                out["shs"], camera_strip(camera, i * sh, sh), sh_degree=3,
+                bg=bg, alive=buffers.alive > 0.5, backend="pallas", **kw)
+            render = jnp.clip(pkg["render"], 0.0, 1.0)
+            strips.append(render)
+            gt = frame_rgb[:, i * sh:(i + 1) * sh]
+            ms = mask[i * sh:(i + 1) * sh]
+            gt = gt * ms[None] + bg[:, None, None] * (1 - ms[None])
+            l1 = l1 + jnp.abs(render - gt).sum() / mask_area
+        full = jnp.concatenate(strips, axis=1)
+        gtf = frame_rgb * mask[None] + bg[:, None, None] * (1 - mask[None])
+        loss_ssim = (1.0 - ssim(full, gtf)) * (mask_area / (h * w))
+        alive = buffers.alive
+        mean_s = (out["scales"][:, 0] * alive).sum() / alive.sum()
+        reg = 0.005 * jnp.sqrt(
+            jnp.sum(((out["scales"][:, 0] - mean_s) * alive) ** 2) + 1e-24)
+        return 0.8 * l1 + 0.2 * loss_ssim + reg
+
+    loss_o, g_o = jax.value_and_grad(oracle_loss)(state.params)
+    loss1, _ = run(1)
+    loss4, g4 = run(4)
+    np.testing.assert_allclose(loss4, float(loss_o), rtol=1e-5)
+    np.testing.assert_allclose(loss4, loss1, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(g4), jax.tree.leaves(g_o)):
+        b = np.asarray(b)
+        assert not np.isnan(b).any(), "NaN in oracle grads"
+        scale = max(float(np.max(np.abs(b))), 1e-12)
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4 * scale)
+
+
 def test_strip_ssim_matches_full():
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P

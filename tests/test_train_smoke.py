@@ -85,6 +85,32 @@ def test_train_smoke(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
+def test_ckpt_capacity_mismatch_falls_back(tmp_path):
+    """A checkpoint written at a different gaussian capacity must be
+    ignored with a warning (train-from-scratch), not crash mid-step —
+    reference parity: sings_hybrid.py:201-237 graceful fallback."""
+    from sings_tpu.train.trainer import Trainer
+
+    cfg = make_cfg(str(tmp_path), steps=2)
+    trainer = Trainer(cfg)
+    trainer.train()
+    assert trainer.step == 2
+
+    cfg2 = make_cfg(str(tmp_path), steps=2)
+    cfg2.human.density_control.max_n_gaussians = 2000  # capacity changes
+    trainer2 = Trainer(cfg2)  # auto-resume finds the old ckpt -> ignored
+    assert trainer2.step == 0
+    assert trainer2.avatar_cfg.capacity != trainer.avatar_cfg.capacity
+
+    # eval/animate with an incompatible ckpt must fail loudly instead
+    cfg3 = make_cfg(str(tmp_path), steps=2)
+    cfg3.human.density_control.max_n_gaussians = 2000
+    cfg3.eval = True
+    with pytest.raises(RuntimeError, match="incompatible"):
+        Trainer(cfg3, mode="eval")
+
+
+@pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
 def test_loss_decreases_overfit_one_frame(tmp_path):
     """Longer single-frame overfit: the photometric loss must drop."""
     from sings_tpu.train.trainer import Trainer
