@@ -1,165 +1,354 @@
 """Sharded avatar training step over a (dp, gs) device mesh.
 
+FULL-objective multi-chip version of train/step.py's train_step_body
+(the reference has no distribution at all — SURVEY.md section 2.3).
 Composition (see shard.py for the axis semantics):
-  * frames sharded over dp (multi-frame batching the reference lacks);
-  * per dp-rank: gaussian decode + LBS sharded over gs — each rank
-    decodes capacity/gs gaussians (triplane sample, decoder MLPs, LBS)
-    and the posed gaussians meet in one tiled all_gather whose
-    transpose (psum_scatter) routes pixel gradients back to the owning
-    rank;
-  * rasterization tile-sharded over gs: each rank renders its image
-    strip through a principal-point-shifted camera (binning + Pallas
-    composite stay device-local);
-  * photometric loss evaluated on local strips, parameter gradients
-    pmean'd over (dp, gs) — one fused all-reduce that XLA overlaps with
-    the backward pass.
 
-The sharded loss is the photometric L1 + scale regularizer subset; the
-full single-chip objective (SSIM windows and the region laplacians span
-strip boundaries) stays on the single-chip path for now.
+  * frames sharded over dp (multi-frame batching the reference lacks);
+  * per dp-rank, the gs axis shards the heavy stages:
+      - gaussian decode + LBS on capacity/gs slices (triplane sample,
+        decoder MLPs, skinning); posed gaussians meet in one tiled
+        all_gather;
+      - rasterization over image strips through principal-point-shifted
+        cameras (binning + Pallas composite stay device-local);
+      - masked L1 on local strips; SSIM via the exact halo exchange
+        (dist/halo.py); LPIPS patches round-robined over ranks on the
+        all_gathered render;
+  * the per-gaussian regularizers (l2-norm family, KNN edge, region
+    laplacians, mesh-edge) are element-wise/gather passes over the
+    gaussian axis — cheap relative to decode+raster — and are computed
+    replicated on the gathered arrays, divided by the gs size so the
+    rank-sum counts them once (follow-up: row-shard the laplacian/KNN
+    tables);
+  * density-control statistics (screen-probe gradients, max radii) are
+    reduced over the mesh with the same conventions as the single-chip
+    step (probe gradients rescaled to the full-image NDC convention);
+  * gradients meet in one pmean(psum(., gs), dp) that XLA overlaps with
+    the backward pass; the non-finite step guard matches step.py.
+
+GRADIENT-SAFETY RULE (shard_map with check_rep=False): the transpose of
+psum is psum, so differentiating through a psum/pmean of a
+param-dependent value overcounts its gradient by the axis size. The
+per-rank loss below is therefore a LOCAL contribution whose rank-sum is
+the global objective; the only collectives touching param-dependent
+values inside jax.grad are all_gather (transpose: psum_scatter) and the
+SSIM halo ppermutes — both exact. psum on data (masks) is safe.
+
+At mesh (1, 1) this step reproduces train/step.py's train_step_body
+bit-for-bit up to collective no-ops (tests/test_dist.py).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from ..losses.lpips import lpips_distance
+from ..losses.photometric import masked_l1, sample_patches
+from ..losses.regularizers import (
+    gaussians_edge_loss, l2_norm_loss, mesh_edge_loss,
+)
 from ..model.avatar import AvatarConfig, avatar_forward
 from ..ops.graphics import Camera
 from ..ops.rasterizer.api import rasterize
+from ..train.step import StepConfig, _gate_grad, sh_degree_mask
+from .halo import strip_ssim_local
 from .shard import camera_strip
+
+_GATHER_KEYS = ("xyz", "scales", "rotq", "shs", "opacity",
+                "xyz_canon", "xyz_offsets", "xyz_anchor_canon")
+
+
+def _slice_gaussian_state(params, buffers, start, shard):
+    def sl(x):
+        return jax.lax.dynamic_slice_in_dim(x, start, shard)
+
+    p_loc = params._replace(xyz=sl(params.xyz))
+    b_loc = buffers._replace(
+        alive=sl(buffers.alive),
+        scaling_multiplier=sl(buffers.scaling_multiplier),
+        opacity_offset=sl(buffers.opacity_offset),
+        lbs_weights=sl(buffers.lbs_weights),
+        vertex_label=sl(buffers.vertex_label),
+        anchor_normals=sl(buffers.anchor_normals),
+        max_radii2d=sl(buffers.max_radii2d),
+        xyz_grad_accum=sl(buffers.xyz_grad_accum),
+        grad_denom=sl(buffers.grad_denom),
+    )
+    return p_loc, b_loc
 
 
 def make_sharded_train_step(
     mesh,
     avatar_cfg: AvatarConfig,
+    step_cfg: StepConfig,
     template,
     camera: Camera,
     tx: optax.GradientTransformation,
+    lpips_params,
     raster_kw: dict,
 ):
-    """Build step(params, buffers, opt_state, cache, batch, rng) where
-    batch arrays lead with the dp-sharded frame axis."""
-    n_strips = mesh.shape["gs"]
-    assert camera.height % n_strips == 0, "height must split over gs"
-    assert avatar_cfg.capacity % n_strips == 0, "capacity must split over gs"
-    strip_h = camera.height // n_strips
-    gauss_shard = avatar_cfg.capacity // n_strips
+    """Build step(params, buffers, opt_state, cache, batch, rng, step,
+    active_sh_degree, region_lap_pos, region_lap_color, lap_pos_w,
+    lap_color_w) -> (params, buffers, opt_state, metrics), where batch
+    arrays lead with the dp-sharded frame axis. All non-batch inputs and
+    outputs are replicated."""
+    w = step_cfg.weights
+    n_gs = mesh.shape["gs"]
+    assert camera.height % n_gs == 0, "height must split over gs"
+    assert avatar_cfg.capacity % n_gs == 0, "capacity must split over gs"
+    strip_h = camera.height // n_gs
+    gauss_shard = avatar_cfg.capacity // n_gs
     strip_cams = [camera_strip(camera, i * strip_h, strip_h)
-                  for i in range(n_strips)]
+                  for i in range(n_gs)]
+    pw = w.photometric
+    npatch = pw.num_patches
+    patches_per_rank = -(-npatch // n_gs)
 
-    def frame_loss(params, buffers, cache, frame, rng, strip_idx):
-        # gaussian decode + LBS on this rank's capacity/gs shard only
-        # (strip_idx doubles as the gs rank); per-gaussian leaves are
-        # sliced, the tiny SMPL template forward is recomputed per rank
-        start = strip_idx * gauss_shard
+    def lpips_fn(a, b):
+        return lpips_distance(lpips_params, a, b)
 
-        def sl(x):
-            return jax.lax.dynamic_slice_in_dim(x, start, gauss_shard)
+    lpips = lpips_fn if (lpips_params is not None and pw.lpips > 0) else None
 
-        p_loc = params._replace(xyz=sl(params.xyz))
-        b_loc = buffers._replace(
-            alive=sl(buffers.alive),
-            scaling_multiplier=sl(buffers.scaling_multiplier),
-            opacity_offset=sl(buffers.opacity_offset),
-            lbs_weights=sl(buffers.lbs_weights),
-            vertex_label=sl(buffers.vertex_label),
-            anchor_normals=sl(buffers.anchor_normals),
-            max_radii2d=sl(buffers.max_radii2d),
-            xyz_grad_accum=sl(buffers.xyz_grad_accum),
-            grad_denom=sl(buffers.grad_denom),
-        )
+    def frame_loss(params, probe, buffers, cache, frame, k_bg, k_photo,
+                   step, active_sh_degree, region_lap_pos, region_lap_color,
+                   lap_pos_w, lap_color_w, strip_idx):
+        bg = jax.random.uniform(k_bg, (3,))
+        opt_geo = step >= step_cfg.opt_geo_from
+        opt_app = step >= step_cfg.opt_app_from
+        deg_mask = sh_degree_mask(active_sh_degree)
+
+        # ---- decode this rank's capacity/gs gaussian shard only
+        p_loc, b_loc = _slice_gaussian_state(
+            params, buffers, strip_idx * gauss_shard, gauss_shard)
         out_loc = avatar_forward(
             p_loc, b_loc, avatar_cfg, template, cache,
-            dataset_idx=frame["idx"], smpl_scale=frame.get("smpl_scale"),
-            eval_mode=True,
+            smpl_scale=frame.get("smpl_scale"), dataset_idx=frame["idx"],
         )
+        for k in ("xyz_canon", "xyz_offsets", "scales", "scales_canon"):
+            out_loc[k] = _gate_grad(out_loc[k], opt_geo)
+        for k in ("shs", "opacity"):
+            out_loc[k] = _gate_grad(out_loc[k], opt_app)
+        out_loc["shs"] = out_loc["shs"] * deg_mask[None, :, None]
+
         out = {
             k: jax.lax.all_gather(out_loc[k], "gs", axis=0, tiled=True)
-            for k in ("xyz", "scales", "rotq", "shs", "opacity")
+            for k in _GATHER_KEYS
         }
-        bg = jax.random.uniform(rng, (3,))
 
+        # ---- rasterize this rank's image strip (full gaussian set)
         def render_with(cam):
             def fn(_):
-                pkg = rasterize(
+                return rasterize(
                     out["xyz"], out["scales"], out["rotq"],
                     out["opacity"][:, 0], out["shs"], cam, sh_degree=3,
-                    bg=bg, alive=buffers.alive > 0.5, backend="pallas",
-                    **raster_kw)
-                return jnp.clip(pkg["render"], 0.0, 1.0)
+                    bg=bg, alive=buffers.alive > 0.5, screen_probe=probe,
+                    backend="pallas", **raster_kw)
             return fn
 
-        render = jax.lax.switch(
+        pkg = jax.lax.switch(
             strip_idx, [render_with(c) for c in strip_cams], None)
+        render = jnp.clip(pkg["render"], 0.0, 1.0)
 
+        # ---- photometric: local strip contributions
         y0 = strip_idx * strip_h
-        gt = jax.lax.dynamic_slice_in_dim(frame["rgb"], y0, strip_h, axis=1)
-        mask = jax.lax.dynamic_slice_in_dim(frame["mask"], y0, strip_h,
-                                            axis=0)
-        gt = gt * mask[None] + bg[:, None, None] * (1 - mask[None])
+        mask = frame["mask"]
+        gt_full = frame["rgb"] * mask[None] + bg[:, None, None] * (
+            1.0 - mask[None])
+        gt = jax.lax.dynamic_slice_in_dim(gt_full, y0, strip_h, axis=1)
+        ms = jax.lax.dynamic_slice_in_dim(mask, y0, strip_h, axis=0)
+        mask_area = jnp.maximum(mask.sum(), 1.0)
 
-        # GRADIENT-SAFETY RULE (shard_map with check_rep=False): the
-        # transpose of psum is psum, so differentiating through a psum
-        # of a param-dependent value overcounts its gradient by the
-        # axis size. The per-rank loss below is therefore the LOCAL
-        # contribution (rank-sum == global frame loss); the only
-        # collectives touching param-dependent values inside grad are
-        # all_gather (transpose: psum_scatter) and the SSIM halo
-        # ppermutes — both exact. psum on `mask` is fine: it is data
-        # with no parameter path.
-        mask_area = jax.lax.psum(mask.sum(), "gs")
-        l1_local = jnp.abs(render - gt).sum() / jnp.maximum(mask_area, 1.0)
-        # exact distributed SSIM via halo exchange over ICI
-        from .halo import strip_ssim_local
+        photo_d = {}
+        photo = 0.0
+        if pw.l1 > 0:
+            photo_d["l1"] = pw.l1 * jnp.abs(render - gt).sum() / mask_area
+            photo = photo + photo_d["l1"]
+        if pw.ssim > 0:
+            frac = mask.sum() / (camera.height * camera.width)
+            # rank-sum of (1/n - local) * frac == (1 - ssim_full) * frac
+            photo_d["ssim"] = pw.ssim * (
+                1.0 / n_gs - strip_ssim_local(render, gt, "gs")) * frac
+            photo = photo + photo_d["ssim"]
+        if lpips is not None:
+            # LPIPS patches need the full image: gather the strips
+            # (exact transpose), sample the same patches on every rank
+            # (replicated mask + key), evaluate round-robin
+            render_full = jax.lax.all_gather(render, "gs", axis=1,
+                                             tiled=True)
+            k_noise, k_patch = jax.random.split(k_photo)
+            noise = jax.random.uniform(k_noise, render_full.shape,
+                                       render_full.dtype)
+            m3 = mask[None]
+            pred_bg = render_full * m3 + noise * (1.0 - m3)
+            gt_bg = gt_full * m3 + noise * (1.0 - m3)
+            pred_p, gt_p = sample_patches(
+                k_patch, mask, (pred_bg, gt_bg),
+                num_patches=npatch, patch_size=pw.patch_size,
+            )
+            j = jnp.arange(patches_per_rank)
+            mine = strip_idx + j * n_gs
+            wj = (mine < npatch).astype(render_full.dtype)
+            pidx = jnp.where(mine < npatch, mine, 0)
+            d = lpips(pred_p[pidx].clip(max=1.0), gt_p[pidx])
+            photo_d["lpips_patch"] = pw.lpips * (d * wj).sum() / npatch
+            photo = photo + photo_d["lpips_patch"]
 
-        n_gs = jax.lax.axis_size("gs")
-        ssim_local = strip_ssim_local(render, gt, "gs")
-        frac = mask_area / (frame["rgb"].shape[-1]
-                            * frame["rgb"].shape[-2])
-        # sum_r (1/n - ssim_local_r) * frac == (1 - ssim_full) * frac
-        loss_ssim_local = (1.0 / n_gs - ssim_local) * frac
-
+        # ---- per-gaussian regularizers: replicated on the gathered
+        # arrays, / n_gs so the rank-sum counts them once (gradients
+        # route through the all_gather transpose — exact)
         alive = buffers.alive
-        mean_s = (out["scales"][:, 0] * alive).sum() / alive.sum()
-        reg = 0.005 * jnp.sqrt(
-            jnp.sum(((out["scales"][:, 0] - mean_s) * alive) ** 2) + 1e-24)
-        # reg is computed redundantly on every rank from the gathered
-        # scales; /n makes the rank-sum count it once (its gradient
-        # routes through the all_gather transpose, which is exact)
-        reg = reg / n_gs
-        return 0.8 * l1_local + 0.2 * loss_ssim_local + reg
+        zero = jnp.float32(0.0)
+        use_op_norm = step >= step_cfg.opacity_norm_from
+        reg_with_op = l2_norm_loss(w.l2, out["xyz_offsets"], out["scales"],
+                                   out["opacity"], alive)
+        reg_no_op = l2_norm_loss(w.l2, out["xyz_offsets"], out["scales"],
+                                 None, alive)
+        reg = jnp.where(use_op_norm, reg_with_op, reg_no_op) / n_gs
 
-    def per_device(params, buffers, cache, batch, rng):
+        edge = zero if w.mesh_edge == 0 else w.mesh_edge * mesh_edge_loss(
+            jax.lax.stop_gradient(out["xyz_canon"]), buffers.edges,
+            buffers.edge_valid) / n_gs
+        connect = zero if w.gaussian_connect == 0 else (
+            w.gaussian_connect * gaussians_edge_loss(
+                jax.lax.stop_gradient(out["xyz_canon"]),
+                out["scales"], alive, k=step_cfg.knn_k) / n_gs)
+
+        pos_terms = []
+        if w.lap_position_strength != 0:
+            pos_terms.append((out["xyz_anchor_canon"], lap_pos_w, None))
+        if w.hand_lap_weight * w.hand_strength != 0:
+            pos_terms.append((out["xyz_canon"],
+                              jnp.ones_like(lap_pos_w), [6, 7]))
+        fused = region_lap_pos.loss_fused(pos_terms) if pos_terms else []
+        lap_pos = (fused.pop(0) if w.lap_position_strength != 0 else zero)
+        hand_raw = fused.pop(0) if w.hand_lap_weight * w.hand_strength \
+            != 0 else zero
+        lap_color = (region_lap_color.loss(out["shs"][:, 0], lap_color_w)
+                     if w.lap_color_strength != 0 else zero)
+        ramp = jnp.clip(
+            (step - w.lap_impose_from) / max(w.lap_impose_from, 1), 0, 1)
+        alpha = w.lap_position_strength * ramp * jnp.where(
+            step > w.lap_double_after, 2.0, 1.0)
+        lap_pos_loss = alpha * lap_pos / n_gs
+        lap_color_loss = w.lap_color_strength * lap_color / n_gs
+        hand_lap = w.hand_lap_weight * w.hand_strength * hand_raw / n_gs
+
+        total = (photo + reg + edge + connect + lap_pos_loss
+                 + lap_color_loss + hand_lap)
+        aux = {
+            "loss": total,
+            "photo": photo,
+            "reg_l2": reg,
+            "mesh_edge": edge,
+            "connect": connect,
+            "lap_pos": lap_pos_loss,
+            "lap_color": lap_color_loss,
+            "radii": pkg["radii"],
+            "visible": pkg["visibility_filter"],
+            **{f"photo_{k}": v for k, v in photo_d.items()},
+        }
+        return total, aux
+
+    def _core(params, buffers, cache, batch, rng, step, active_sh_degree,
+              region_lap_pos, region_lap_color, lap_pos_w, lap_color_w):
         frame = jax.tree.map(lambda x: x[0], batch)
-        strip = jax.lax.axis_index("gs")
-        rngs = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        strip_idx = jax.lax.axis_index("gs")
+        rng_d = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        k_bg, k_photo = jax.random.split(rng_d)
 
-        loss_local, grads = jax.value_and_grad(
-            lambda p: frame_loss(p, buffers, cache, frame, rngs, strip)
-        )(params)
-        # per-rank values are LOCAL contributions -> sum over gs
-        # (outside the grad), average over dp frames
+        probe0 = jnp.zeros((avatar_cfg.capacity, 2))
+        (loss_local, aux), (grads, probe_grad) = jax.value_and_grad(
+            lambda p, pr: frame_loss(
+                p, pr, buffers, cache, frame, k_bg, k_photo, step,
+                active_sh_degree, region_lap_pos, region_lap_color,
+                lap_pos_w, lap_color_w, strip_idx),
+            argnums=(0, 1), has_aux=True,
+        )(params, probe0)
+
+        # per-rank loss values are LOCAL contributions -> sum over gs
+        # (OUTSIDE the grad), average over dp frames
         loss = jax.lax.pmean(jax.lax.psum(loss_local, "gs"), "dp")
         grads = jax.tree.map(
             lambda g: jax.lax.pmean(jax.lax.psum(g, "gs"), "dp"), grads)
-        return loss, grads
+        return loss, grads, aux, probe_grad
 
-    sharded_grads = shard_map(
+    def per_device(params, buffers, opt_state, cache, batch, rng, step,
+                   active_sh_degree, region_lap_pos, region_lap_color,
+                   lap_pos_w, lap_color_w):
+        loss, grads, aux, probe_grad = _core(
+            params, buffers, cache, batch, rng, step, active_sh_degree,
+            region_lap_pos, region_lap_color, lap_pos_w, lap_color_w)
+
+        # non-finite guard (step.py): skip the whole update if any
+        # gradient is poisoned
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite &= jnp.all(jnp.isfinite(g))
+
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda a, b: jnp.where(finite, a, b), new, old)
+        params = keep(new_params, params)
+        opt_state = keep(new_opt_state, opt_state)
+
+        # density-control statistics: probe gradients back to the
+        # full-image NDC convention (rasterize scaled by the STRIP
+        # height -> multiply y by n_gs), summed over strips and frames
+        probe_g = jax.lax.psum(probe_grad, "gs") * jnp.asarray(
+            [1.0, float(n_gs)])
+        visible = jax.lax.pmax(
+            aux.pop("visible").astype(jnp.float32), "gs") > 0.5
+        radii = jax.lax.pmax(aux.pop("radii").astype(jnp.float32), "gs")
+        acc = visible & finite
+        max_r = jnp.where(acc, jnp.maximum(buffers.max_radii2d, radii),
+                          buffers.max_radii2d)
+        grad_add = jnp.where(acc, jnp.linalg.norm(probe_g, axis=-1), 0.0)
+        denom_add = acc.astype(jnp.float32)
+        buffers = buffers._replace(
+            max_radii2d=jax.lax.pmax(max_r, "dp"),
+            xyz_grad_accum=buffers.xyz_grad_accum + jax.lax.psum(
+                grad_add, "dp"),
+            grad_denom=buffers.grad_denom + jax.lax.psum(denom_add, "dp"),
+        )
+
+        metrics = {
+            k: jax.lax.pmean(jax.lax.psum(v, "gs"), "dp")
+            for k, v in aux.items()
+        }
+        metrics["skipped"] = jax.lax.pmean(
+            (~finite).astype(jnp.float32), ("dp", "gs"))
+        return params, buffers, opt_state, metrics
+
+    sharded = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(), P("dp"), P(), P(), P(), P(), P(),
+                  P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_rep=False,
     )
 
     @jax.jit
-    def step(params, buffers, opt_state, cache, batch, rng):
-        loss, grads = sharded_grads(params, buffers, cache, batch, rng)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    def step(params, buffers, opt_state, cache, batch, rng, step_idx,
+             active_sh_degree, region_lap_pos, region_lap_color,
+             lap_pos_w, lap_color_w):
+        return sharded(params, buffers, opt_state, cache, batch, rng,
+                       jnp.asarray(step_idx), jnp.asarray(active_sh_degree),
+                       region_lap_pos, region_lap_color, lap_pos_w,
+                       lap_color_w)
 
-    step.grads_fn = jax.jit(sharded_grads)  # exposed for tests/debugging
+    # (loss, grads) view for tests/debugging
+    step.grads_fn = jax.jit(shard_map(
+        lambda p, b, c, batch, rng, s, a, rlp, rlc, wp, wc: _core(
+            p, b, c, batch, rng, s, a, rlp, rlc, wp, wc)[:2],
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P(), P(), P(), P(), P(), P(),
+                  P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    ))
     return step

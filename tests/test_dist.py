@@ -50,131 +50,183 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
-def test_sharded_grads_match_single_device():
-    """dp-sharded gradients == single-device batched gradients."""
+def _sharded_setup():
     import __graft_entry__ as ge
-    from sings_tpu.dist.shard import make_mesh, replicate, shard_batch
-    from sings_tpu.dist.train_sharded import make_sharded_train_step
-    from sings_tpu.train.optim import LRConfig, TrainFlags, make_optimizer
-
-    tpl, dt, cache, cfg, state, camera = ge._tiny_setup()
-    kw = ge._raster_kw()
-    tx = make_optimizer(LRConfig(), TrainFlags())
-
-    def run(n_dev):
-        mesh = make_mesh(n_dev, dp=n_dev)  # pure dp, gs=1
-        step = make_sharded_train_step(mesh, cfg, dt, camera, tx, kw)
-        dp = mesh.shape["dp"]
-        rng = jax.random.PRNGKey(0)
-        batch = {
-            "rgb": jnp.zeros((4, 3, camera.height, camera.width))
-            .at[:, 0].set(0.5)[:dp] if dp <= 4 else None,
-            "mask": jnp.ones((dp, camera.height, camera.width)),
-            "idx": jnp.arange(dp) % 4,
-            "smpl_scale": jnp.ones((dp, 1)),
-        }
-        batch["rgb"] = jnp.zeros((dp, 3, camera.height, camera.width))
-        opt_state = tx.init(state.params)
-        with mesh:
-            params, _, loss = step(
-                replicate(state.params, mesh), replicate(state.buffers, mesh),
-                opt_state, replicate(cache, mesh), shard_batch(batch, mesh),
-                rng)
-        return float(loss), params
-
-    loss1, p1 = run(1)
-    loss4, p4 = run(4)
-    # same frames (idx 0..dp-1) -> different batches; instead compare
-    # determinism of the sharded path itself
-    loss4b, p4b = run(4)
-    assert np.isfinite(loss1) and np.isfinite(loss4)
-    np.testing.assert_allclose(loss4, loss4b, rtol=1e-6)
-    np.testing.assert_allclose(
-        np.asarray(p4.xyz), np.asarray(p4b.xyz), atol=1e-7)
-
-
-def test_gs_sharded_decode_matches_strip_oracle():
-    """The gs-sharded step (sliced decode + all_gather + halo SSIM +
-    local-loss psum) reproduces a single-device oracle that computes the
-    SAME strip decomposition with a full decode.
-
-    The oracle is strip-decomposed (not the full-image render) because
-    the T_EPS early-exit makes deep-overlap gradients discretely
-    sensitive to the tile decomposition; the sharding machinery itself
-    must be exact. gs=1 vs gs=4 loss VALUES are also compared (2e-4)."""
-    import __graft_entry__ as ge
-    from sings_tpu.dist.shard import (camera_strip, make_mesh, replicate,
-                                      shard_batch)
-    from sings_tpu.dist.train_sharded import make_sharded_train_step
-    from sings_tpu.model.avatar import avatar_forward
-    from sings_tpu.ops.ssim import ssim
-    from sings_tpu.train.optim import LRConfig, TrainFlags, make_optimizer
+    from sings_tpu.losses.lpips import init_random
+    from sings_tpu.losses.photometric import PhotometricWeights
+    from sings_tpu.train.step import LossWeights, StepConfig
 
     tpl, dt, cache, cfg, state, camera = ge._tiny_setup()
     # max_span=8 >= the tile grid: no center-cropping, so strip and
-    # full renders see identical per-tile pair lists
-    kw = dict(ge._raster_kw(), max_span=8)
-    tx = make_optimizer(LRConfig(), TrainFlags())
-    rng = jax.random.PRNGKey(3)
+    # full renders see identical per-tile pair lists. main_width=64
+    # (= max_span^2) makes the backward glue exact — the default
+    # narrow prefix + tail table drops overflowed-tail gradients
+    # (tiles.py contract), which hits the full image and the strips
+    # asymmetrically and would skew the gs=1 vs gs=4 comparison.
+    kw = dict(ge._raster_kw(), max_span=8, main_width=64)
+    _, region_lap, lap_w = ge._dryrun_pieces(state, camera)
+    step_cfg = StepConfig(
+        weights=LossWeights(photometric=PhotometricWeights(
+            lpips=1.0, num_patches=4, patch_size=32)),
+        opt_geo_from=0, opt_app_from=0, opacity_norm_from=0,
+    )
+    lpips_params = init_random(jax.random.PRNGKey(7))
+    return (dt, cache, cfg, state, camera, kw, step_cfg, lpips_params,
+            region_lap, lap_w)
+
+
+def _make_batch(camera, dp):
     h, w = camera.height, camera.width
-    frame_rgb = jnp.zeros((3, h, w)).at[1].set(0.4)
-    mask = jnp.ones((h, w))
+    return {
+        "rgb": jnp.tile(jnp.zeros((1, 3, h, w)).at[:, 1].set(0.4), (dp, 1, 1, 1)),
+        "mask": jnp.ones((dp, h, w)),
+        "idx": jnp.zeros((dp,), jnp.int32),
+        "smpl_scale": jnp.ones((dp, 1)),
+    }
 
-    def run(gs):
-        mesh = make_mesh(gs, dp=1)
-        step = make_sharded_train_step(mesh, cfg, dt, camera, tx, kw)
-        batch = {
-            "rgb": frame_rgb[None], "mask": mask[None],
-            "idx": jnp.zeros((1,), jnp.int32),
-            "smpl_scale": jnp.ones((1, 1)),
-        }
+
+def test_sharded_mesh11_matches_single_chip_step():
+    """At mesh (1,1) the full-objective sharded step reproduces
+    train/step.py's train_step_body: same loss components, same density
+    stats, and — with sgd(1.0), where param deltas equal -gradients —
+    the same gradients for every leaf (incl. the LPIPS patch path)."""
+    import optax
+
+    from sings_tpu.dist.shard import make_mesh, replicate, shard_batch
+    from sings_tpu.dist.train_sharded import make_sharded_train_step
+    from sings_tpu.train.step import make_train_step
+
+    (dt, cache, cfg, state, camera, kw, step_cfg, lpips_params,
+     region_lap, lap_w) = _sharded_setup()
+    tx = optax.sgd(1.0)
+    rng = jax.random.PRNGKey(3)
+    batch = _make_batch(camera, 1)
+
+    # single-chip reference (the sharded step folds rng by dp index)
+    body = jax.jit(make_train_step(cfg, step_cfg, dt, camera, tx,
+                                   lpips_params, kw))
+    frame = jax.tree.map(lambda x: x[0], batch)
+    p1, b1, o1, m1, _ = body(
+        state.params, state.buffers, tx.init(state.params), cache, frame,
+        jax.random.fold_in(rng, 0), jnp.asarray(0), jnp.asarray(0),
+        region_lap, region_lap, lap_w, lap_w)
+
+    mesh = make_mesh(1)
+    step = make_sharded_train_step(mesh, cfg, step_cfg, dt, camera, tx,
+                                   lpips_params, kw)
+    with mesh:
+        p2, b2, o2, m2 = step(
+            replicate(state.params, mesh), replicate(state.buffers, mesh),
+            tx.init(state.params), replicate(cache, mesh),
+            shard_batch(batch, mesh), rng, 0, 0,
+            replicate(region_lap, mesh), replicate(region_lap, mesh),
+            replicate(lap_w, mesh), replicate(lap_w, mesh))
+
+    for k in ("loss", "photo", "reg_l2", "connect", "lap_pos", "lap_color",
+              "photo_l1", "photo_ssim", "photo_lpips_patch", "skipped"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]), rtol=2e-4,
+                                   atol=1e-7, err_msg=k)
+    # param deltas == -grads under sgd(1.0): compare every leaf
+    for (path, a1), a2, a0 in zip(
+            jax.tree_util.tree_flatten_with_path(p1)[0],
+            jax.tree.leaves(p2), jax.tree.leaves(state.params)):
+        g1 = np.asarray(a0) - np.asarray(a1)
+        g2 = np.asarray(a0) - np.asarray(a2)
+        assert not np.isnan(g1).any(), f"NaN grads {path}"
+        scale = max(np.abs(g1).max(), 1e-12)
+        np.testing.assert_allclose(
+            g2, g1, rtol=1e-3, atol=1e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+    # density-control stats (probe-gradient path)
+    np.testing.assert_allclose(np.asarray(b2.xyz_grad_accum),
+                               np.asarray(b1.xyz_grad_accum),
+                               rtol=1e-3, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(b2.max_radii2d),
+                               np.asarray(b1.max_radii2d), atol=1e-4)
+
+
+def test_sharded_step_gs4_dp2():
+    """Full mesh (2,4): loss value matches (1,1) within decomposition
+    noise, nothing skipped, update is deterministic."""
+    import optax
+
+    from sings_tpu.dist.shard import make_mesh, replicate, shard_batch
+    from sings_tpu.dist.train_sharded import make_sharded_train_step
+
+    (dt, cache, cfg, state, camera, kw, step_cfg, lpips_params,
+     region_lap, lap_w) = _sharded_setup()
+    tx = optax.adam(1e-3)
+    rng = jax.random.PRNGKey(3)
+
+    def run(dp, gs):
+        mesh = make_mesh(dp * gs, dp=dp)
+        step = make_sharded_train_step(mesh, cfg, step_cfg, dt, camera, tx,
+                                       lpips_params, kw)
+        batch = _make_batch(camera, dp)
         with mesh:
-            loss, grads = step.grads_fn(
+            p, b, o, m = step(
                 replicate(state.params, mesh), replicate(state.buffers, mesh),
-                replicate(cache, mesh), shard_batch(batch, mesh), rng)
-        return float(loss), jax.tree.map(np.asarray, grads)
+                tx.init(state.params), replicate(cache, mesh),
+                shard_batch(batch, mesh), rng, 0, 0,
+                replicate(region_lap, mesh), replicate(region_lap, mesh),
+                replicate(lap_w, mesh), replicate(lap_w, mesh))
+        return jax.tree.map(np.asarray, (p, m))
 
-    # single-device oracle: same 4-strip decomposition, full decode
-    bg = jax.random.uniform(jax.random.fold_in(rng, 0), (3,))
-    buffers = state.buffers
-    sh = h // 4
+    p11, m11 = run(1, 1)
+    p24, m24 = run(2, 4)
+    p24b, m24b = run(2, 4)
+    # identical frames in the batch -> dp only changes rng folding of
+    # the background color; compare loss loosely, determinism tightly
+    assert np.isfinite(m24["loss"])
+    assert m24["skipped"] == 0.0
+    np.testing.assert_allclose(m24["loss"], m11["loss"], rtol=0.2)
+    np.testing.assert_allclose(m24b["loss"], m24["loss"], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p24), jax.tree.leaves(p24b)):
+        np.testing.assert_array_equal(a, b)
 
-    def oracle_loss(params):
-        out = avatar_forward(params, buffers, cfg, dt, cache, dataset_idx=0,
-                             smpl_scale=jnp.ones(1), eval_mode=True)
-        mask_area = mask.sum()
-        l1 = 0.0
-        strips = []
-        for i in range(4):
-            pkg = rasterize(
-                out["xyz"], out["scales"], out["rotq"], out["opacity"][:, 0],
-                out["shs"], camera_strip(camera, i * sh, sh), sh_degree=3,
-                bg=bg, alive=buffers.alive > 0.5, backend="pallas", **kw)
-            render = jnp.clip(pkg["render"], 0.0, 1.0)
-            strips.append(render)
-            gt = frame_rgb[:, i * sh:(i + 1) * sh]
-            ms = mask[i * sh:(i + 1) * sh]
-            gt = gt * ms[None] + bg[:, None, None] * (1 - ms[None])
-            l1 = l1 + jnp.abs(render - gt).sum() / mask_area
-        full = jnp.concatenate(strips, axis=1)
-        gtf = frame_rgb * mask[None] + bg[:, None, None] * (1 - mask[None])
-        loss_ssim = (1.0 - ssim(full, gtf)) * (mask_area / (h * w))
-        alive = buffers.alive
-        mean_s = (out["scales"][:, 0] * alive).sum() / alive.sum()
-        reg = 0.005 * jnp.sqrt(
-            jnp.sum(((out["scales"][:, 0] - mean_s) * alive) ** 2) + 1e-24)
-        return 0.8 * l1 + 0.2 * loss_ssim + reg
 
-    loss_o, g_o = jax.value_and_grad(oracle_loss)(state.params)
-    loss1, _ = run(1)
-    loss4, g4 = run(4)
-    np.testing.assert_allclose(loss4, float(loss_o), rtol=1e-5)
-    np.testing.assert_allclose(loss4, loss1, rtol=2e-4)
-    for a, b in zip(jax.tree.leaves(g4), jax.tree.leaves(g_o)):
+def test_sharded_gs4_grads_match_gs1():
+    """gs=4 gradients == gs=1 gradients (dp=1, same frame/rng).
+
+    max_span=8 keeps the strip and full tile decompositions identical
+    pair-for-pair; remaining differences are reduction reassociation
+    plus T_EPS early-exit flips for deeply-occluded gaussians, so small
+    leaves get a scale-aware tolerance."""
+    from sings_tpu.dist.shard import make_mesh, replicate, shard_batch
+    from sings_tpu.dist.train_sharded import make_sharded_train_step
+    import optax
+
+    (dt, cache, cfg, state, camera, kw, step_cfg, lpips_params,
+     region_lap, lap_w) = _sharded_setup()
+    tx = optax.sgd(1.0)
+    rng = jax.random.PRNGKey(3)
+    batch = _make_batch(camera, 1)
+
+    def grads(gs):
+        mesh = make_mesh(gs, dp=1)
+        step = make_sharded_train_step(mesh, cfg, step_cfg, dt, camera, tx,
+                                       lpips_params, kw)
+        with mesh:
+            loss, g = step.grads_fn(
+                replicate(state.params, mesh), replicate(state.buffers, mesh),
+                replicate(cache, mesh), shard_batch(batch, mesh), rng,
+                jnp.asarray(0), jnp.asarray(0),
+                replicate(region_lap, mesh), replicate(region_lap, mesh),
+                replicate(lap_w, mesh), replicate(lap_w, mesh))
+        return float(loss), jax.tree.map(np.asarray, g)
+
+    l1_, g1 = grads(1)
+    l4_, g4 = grads(4)
+    np.testing.assert_allclose(l4_, l1_, rtol=5e-4)
+    for (path, b), a in zip(jax.tree_util.tree_flatten_with_path(g1)[0],
+                            jax.tree.leaves(g4)):
         b = np.asarray(b)
-        assert not np.isnan(b).any(), "NaN in oracle grads"
-        scale = max(float(np.max(np.abs(b))), 1e-12)
-        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4 * scale)
+        assert not np.isnan(b).any(), f"NaN grads {path}"
+        scale = max(np.abs(b).max(), 1e-12)
+        # loose: T_EPS decomposition sensitivity (see docstring)
+        np.testing.assert_allclose(
+            a, b, rtol=0.05, atol=0.05 * scale,
+            err_msg=jax.tree_util.keystr(path))
 
 
 def test_strip_ssim_matches_full():
