@@ -148,6 +148,11 @@ DEFAULTS = {
         },
         "capacity_margin": 1.25,   # slot headroom over current gaussians
         "inner_steps": 8,          # train steps fused per dispatch (lax.scan)
+        # (dp, gs) device mesh for multi-chip training (dist/shard.py):
+        # dp shards frames (one optimizer update averages dp frames),
+        # gs shards gaussian decode + image strips. dp*gs==1 -> the
+        # single-chip jitted step.
+        "mesh": {"dp": 1, "gs": 1},
         "lpips_weights": None,     # optional npz of pretrained VGG-LPIPS
         "smpl_model_dir": "/root/reference/data/human_models",
         "parsing_dir":

@@ -40,7 +40,7 @@ def strip_ssim_local(pred: jax.Array, gt: jax.Array, axis_name: str,
 
     Rank-sum of the result equals single-device ssim(pred_full, gt_full)
     (equal strip heights assumed). Crucially there is NO psum/pmean on
-    the return value: under shard_map(check_rep=False) the transpose of
+    the return value: under shard_map(check_vma=False) the transpose of
     psum is psum — differentiating through a psum of a param-dependent
     value overcounts gradients by the axis size. Cross-strip coupling
     flows only through the halo ppermutes, whose transpose is exact.
@@ -76,7 +76,7 @@ def strip_ssim(pred: jax.Array, gt: jax.Array, axis_name: str,
     """Mean SSIM of a strip-sharded image pair, exact vs the full image.
 
     Value-only convenience (psum of the local contributions) — do NOT
-    differentiate through this inside shard_map(check_rep=False); use
+    differentiate through this inside shard_map(check_vma=False); use
     strip_ssim_local (see its docstring).
     """
     return jax.lax.psum(

@@ -80,7 +80,7 @@ def make_sharded_step(mesh: Mesh, loss_strip_fn, n_strips: int):
     Returns f(params, batch) -> (loss, grads) with batch leading dim =
     dp size.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_device(params, batch):
         frame = jax.tree.map(lambda x: x[0], batch)  # local shard is (1, ...)
@@ -98,7 +98,7 @@ def make_sharded_step(mesh: Mesh, loss_strip_fn, n_strips: int):
         per_device, mesh=mesh,
         in_specs=(P(), P("dp")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return sharded
 

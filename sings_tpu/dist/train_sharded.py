@@ -26,7 +26,7 @@ Composition (see shard.py for the axis semantics):
   * gradients meet in one pmean(psum(., gs), dp) that XLA overlaps with
     the backward pass; the non-finite step guard matches step.py.
 
-GRADIENT-SAFETY RULE (shard_map with check_rep=False): the transpose of
+GRADIENT-SAFETY RULE (shard_map with check_vma=False): the transpose of
 psum is psum, so differentiating through a psum/pmean of a
 param-dependent value overcounts its gradient by the axis size. The
 per-rank loss below is therefore a LOCAL contribution whose rank-sum is
@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..losses.lpips import lpips_distance
 from ..losses.photometric import masked_l1, sample_patches
@@ -329,7 +329,7 @@ def make_sharded_train_step(
         in_specs=(P(), P(), P(), P(), P("dp"), P(), P(), P(), P(), P(),
                   P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -349,6 +349,6 @@ def make_sharded_train_step(
         in_specs=(P(), P(), P(), P("dp"), P(), P(), P(), P(), P(), P(),
                   P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     ))
     return step

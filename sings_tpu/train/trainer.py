@@ -253,6 +253,39 @@ class Trainer:
         self.train_scan = make_train_scan(self.train_step_body)
         self.inner_steps = int(cfg.tpu.get("inner_steps", 1) or 1)
 
+        # ---------------- optional (dp, gs) device mesh (dist/)
+        mesh_cfg = dict(cfg.tpu.get("mesh", {}) or {})
+        mesh_dp = int(mesh_cfg.get("dp", 1) or 1)
+        mesh_gs = int(mesh_cfg.get("gs", 1) or 1)
+        self.mesh = None
+        self.mesh_dp = 1
+        if mesh_dp * mesh_gs > 1:
+            ndev = len(jax.devices())
+            if ndev < mesh_dp * mesh_gs:
+                raise ValueError(
+                    f"tpu.mesh requests dp={mesh_dp} x gs={mesh_gs} devices,"
+                    f" only {ndev} available")
+            if self.camera.height % mesh_gs:
+                raise ValueError(
+                    f"image height {self.camera.height} must split into "
+                    f"gs={mesh_gs} strips (use dataset.downscale or gs that"
+                    " divides it)")
+            assert capacity % mesh_gs == 0  # capacity is 256-aligned
+            from ..dist.shard import make_mesh
+            from ..dist.train_sharded import make_sharded_train_step
+
+            self.mesh = make_mesh(mesh_dp * mesh_gs, dp=mesh_dp)
+            self.mesh_dp = mesh_dp
+            self.train_step_sharded = make_sharded_train_step(
+                self.mesh, self.avatar_cfg, step_cfg, self.template,
+                self.camera, self.tx,
+                self.lpips_params if loss_cfg.lpips_w > 0 else None,
+                self.raster_kw)
+            # dp frame-batching replaces single-chip dispatch fusion
+            self.inner_steps = 1
+            print(f"[mesh] training on a (dp={mesh_dp}, gs={mesh_gs}) "
+                  "device mesh")
+
         # region laplacians
         self.lap_pos_w = jnp.asarray(parse_region_weights(
             loss_cfg.laplacian.position_regions_w,
@@ -368,7 +401,7 @@ class Trainer:
                     k += 1
 
             frames = []
-            for _ in range(k):
+            for _ in range(k if self.mesh is None else self.mesh_dp):
                 if cursor >= len(order):
                     random.shuffle(order)
                     cursor = 0
@@ -376,7 +409,32 @@ class Trainer:
                 cursor += 1
 
             key, self.rng = jax.random.split(self.rng)
-            if k == 1:
+            if self.mesh is not None:
+                # one optimizer update, gradients averaged over the dp
+                # frames and each frame's work split over the gs strips
+                from ..dist.shard import shard_batch
+
+                idxs = jnp.asarray(frames)
+                batch = {
+                    "rgb": self.images[idxs],
+                    "mask": self.masks[idxs],
+                    "idx": idxs,
+                    "smpl_scale": jnp.ones((len(frames), 1)),
+                }
+                (self.params, self.buffers, self.opt_state,
+                 metrics) = self.train_step_sharded(
+                    self.params, self.buffers, self.opt_state, self.cache,
+                    shard_batch(batch, self.mesh), key, jnp.asarray(t_iter),
+                    jnp.asarray(self.active_sh_degree),
+                    self.region_lap, self.region_lap,
+                    self.lap_pos_w, self.lap_color_w,
+                )
+                last_loss = metrics["loss"]
+                if float(metrics["skipped"]) > 0:
+                    print(f"[{t_iter}] WARNING: non-finite gradients, "
+                          "update skipped")
+                render = None
+            elif k == 1:
                 frame = frames[0]
                 batch = {
                     "rgb": self.images[frame],

@@ -229,8 +229,47 @@ def test_sharded_gs4_grads_match_gs1():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_trainer_on_mesh_smoke(tmp_path):
+    """Full Trainer wired to a (dp=2, gs=4) mesh: a few optimizer
+    updates on the bundled kit run end-to-end (decode+render sharded),
+    losses stay finite, checkpointing works."""
+    import os
+
+    from sings_tpu.config.core import load_config
+    from sings_tpu.config.defaults import DEFAULTS
+    from sings_tpu.train.trainer import Trainer
+
+    kit = "/root/reference/examples/training_kits/f_2"
+    if not os.path.isdir(kit):
+        pytest.skip("bundled kit missing")
+    cfg = load_config(DEFAULTS, None, [
+        f"output_path={tmp_path}", "exp_name=mesh_smoke",
+        "dataset.downscale=8", "dataset.max_frames=8",
+        "train.num_steps=3", "train.init_steps=5",
+        "train.val_interval=100000", "train.viz_interval=100000",
+        "train.save_ckpt_interval=100000",
+        "human.n_subdivision=0", "human.sh_degree=0",
+        "human.loss.lpips_w=0.0", "human.loss.patch_size=16",
+        "human.kplanes.resolution=[16,16,16]",
+        "human.kplanes.output_coordinate_dim=8",
+        "human.kplanes.multires=[1,2]",
+        "human.density_control.max_n_gaussians=4000",
+        "human.density_control.min_n_gaussians=100",
+        "tpu.smpl_model_dir=/nonexistent",
+        "tpu.auto_fit_synthetic=False",
+        "tpu.mesh.dp=2", "tpu.mesh.gs=4",
+    ])
+    trainer = Trainer(cfg)
+    assert trainer.mesh is not None and trainer.mesh_dp == 2
+    result = trainer.train()
+    assert trainer.step == 3
+    assert np.isfinite(result["psnr"])
+    ckpt = os.path.join(trainer.logdir_ckpt, "human_final.npz")
+    assert os.path.exists(ckpt)
+
+
 def test_strip_ssim_matches_full():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from sings_tpu.dist.halo import strip_ssim
@@ -246,7 +285,7 @@ def test_strip_ssim_matches_full():
     fn = shard_map(
         lambda p, g: strip_ssim(p, g, "gs"),
         mesh=mesh, in_specs=(P(None, "gs", None), P(None, "gs", None)),
-        out_specs=P(), check_rep=False)
+        out_specs=P(), check_vma=False)
     with mesh:
         dist = float(fn(pred, gt))
     np.testing.assert_allclose(dist, full, rtol=1e-5)
