@@ -64,8 +64,11 @@ def camera_strip(camera: Camera, y0: int, h: int) -> Camera:
         view=camera.view, proj=proj, cam_center=camera.cam_center,
         height=h, width=camera.width,
         tan_fovx=camera.tan_fovx, tan_fovy=camera.tan_fovy * h / hh,
-        clamp_tan_fovx=camera.clamp_tan_fovx or camera.tan_fovx,
-        clamp_tan_fovy=camera.clamp_tan_fovy or camera.tan_fovy,
+        # `is None` (not `or`): fields may be traced scalars
+        clamp_tan_fovx=(camera.tan_fovx if camera.clamp_tan_fovx is None
+                        else camera.clamp_tan_fovx),
+        clamp_tan_fovy=(camera.tan_fovy if camera.clamp_tan_fovy is None
+                        else camera.clamp_tan_fovy),
     )
 
 

@@ -81,29 +81,30 @@ def _slice_gaussian_state(params, buffers, start, shard):
     return p_loc, b_loc
 
 
-def make_sharded_train_step(
-    mesh,
+def make_frame_loss(
     avatar_cfg: AvatarConfig,
     step_cfg: StepConfig,
     template,
-    camera: Camera,
-    tx: optax.GradientTransformation,
+    height: int,
+    width: int,
+    n_gs: int,
     lpips_params,
     raster_kw: dict,
 ):
-    """Build step(params, buffers, opt_state, cache, batch, rng, step,
-    active_sh_degree, region_lap_pos, region_lap_color, lap_pos_w,
-    lap_color_w) -> (params, buffers, opt_state, metrics), where batch
-    arrays lead with the dp-sharded frame axis. All non-batch inputs and
-    outputs are replicated."""
+    """Shared per-(frame, gs-rank) loss of the sharded steps.
+
+    Returns frame_loss(params, probe, buffers, cache, camera, frame,
+    k_bg, k_photo, step, active_sh_degree, region_lap_pos,
+    region_lap_color, lap_pos_w, lap_color_w, strip_idx) -> (local_loss,
+    aux) whose rank-sum over the "gs" axis is the full single-chip
+    objective. `camera` is the FULL-image camera; its array fields may
+    be traced (per-case cameras), height/width must equal the static
+    ints passed here."""
     w = step_cfg.weights
-    n_gs = mesh.shape["gs"]
-    assert camera.height % n_gs == 0, "height must split over gs"
+    assert height % n_gs == 0, "height must split over gs"
     assert avatar_cfg.capacity % n_gs == 0, "capacity must split over gs"
-    strip_h = camera.height // n_gs
+    strip_h = height // n_gs
     gauss_shard = avatar_cfg.capacity // n_gs
-    strip_cams = [camera_strip(camera, i * strip_h, strip_h)
-                  for i in range(n_gs)]
     pw = w.photometric
     npatch = pw.num_patches
     patches_per_rank = -(-npatch // n_gs)
@@ -113,9 +114,9 @@ def make_sharded_train_step(
 
     lpips = lpips_fn if (lpips_params is not None and pw.lpips > 0) else None
 
-    def frame_loss(params, probe, buffers, cache, frame, k_bg, k_photo,
-                   step, active_sh_degree, region_lap_pos, region_lap_color,
-                   lap_pos_w, lap_color_w, strip_idx):
+    def frame_loss(params, probe, buffers, cache, camera, frame, k_bg,
+                   k_photo, step, active_sh_degree, region_lap_pos,
+                   region_lap_color, lap_pos_w, lap_color_w, strip_idx):
         bg = jax.random.uniform(k_bg, (3,))
         opt_geo = step >= step_cfg.opt_geo_from
         opt_app = step >= step_cfg.opt_app_from
@@ -139,18 +140,15 @@ def make_sharded_train_step(
             for k in _GATHER_KEYS
         }
 
-        # ---- rasterize this rank's image strip (full gaussian set)
-        def render_with(cam):
-            def fn(_):
-                return rasterize(
-                    out["xyz"], out["scales"], out["rotq"],
-                    out["opacity"][:, 0], out["shs"], cam, sh_degree=3,
-                    bg=bg, alive=buffers.alive > 0.5, screen_probe=probe,
-                    backend="pallas", **raster_kw)
-            return fn
-
-        pkg = jax.lax.switch(
-            strip_idx, [render_with(c) for c in strip_cams], None)
+        # ---- rasterize this rank's image strip (full gaussian set);
+        # one strip camera with a traced row offset — no per-rank
+        # program variants to compile (camera_strip is y0-linear)
+        cam_loc = camera_strip(camera, strip_idx * strip_h, strip_h)
+        pkg = rasterize(
+            out["xyz"], out["scales"], out["rotq"],
+            out["opacity"][:, 0], out["shs"], cam_loc, sh_degree=3,
+            bg=bg, alive=buffers.alive > 0.5, screen_probe=probe,
+            backend="pallas", **raster_kw)
         render = jnp.clip(pkg["render"], 0.0, 1.0)
 
         # ---- photometric: local strip contributions
@@ -168,7 +166,7 @@ def make_sharded_train_step(
             photo_d["l1"] = pw.l1 * jnp.abs(render - gt).sum() / mask_area
             photo = photo + photo_d["l1"]
         if pw.ssim > 0:
-            frac = mask.sum() / (camera.height * camera.width)
+            frac = mask.sum() / (height * width)
             # rank-sum of (1/n - local) * frac == (1 - ssim_full) * frac
             photo_d["ssim"] = pw.ssim * (
                 1.0 / n_gs - strip_ssim_local(render, gt, "gs")) * frac
@@ -253,6 +251,29 @@ def make_sharded_train_step(
         }
         return total, aux
 
+    return frame_loss
+
+
+def make_sharded_train_step(
+    mesh,
+    avatar_cfg: AvatarConfig,
+    step_cfg: StepConfig,
+    template,
+    camera: Camera,
+    tx: optax.GradientTransformation,
+    lpips_params,
+    raster_kw: dict,
+):
+    """Build step(params, buffers, opt_state, cache, batch, rng, step,
+    active_sh_degree, region_lap_pos, region_lap_color, lap_pos_w,
+    lap_color_w) -> (params, buffers, opt_state, metrics), where batch
+    arrays lead with the dp-sharded frame axis. All non-batch inputs and
+    outputs are replicated."""
+    n_gs = mesh.shape["gs"]
+    frame_loss = make_frame_loss(
+        avatar_cfg, step_cfg, template, camera.height, camera.width, n_gs,
+        lpips_params, raster_kw)
+
     def _core(params, buffers, cache, batch, rng, step, active_sh_degree,
               region_lap_pos, region_lap_color, lap_pos_w, lap_color_w):
         frame = jax.tree.map(lambda x: x[0], batch)
@@ -263,7 +284,7 @@ def make_sharded_train_step(
         probe0 = jnp.zeros((avatar_cfg.capacity, 2))
         (loss_local, aux), (grads, probe_grad) = jax.value_and_grad(
             lambda p, pr: frame_loss(
-                p, pr, buffers, cache, frame, k_bg, k_photo, step,
+                p, pr, buffers, cache, camera, frame, k_bg, k_photo, step,
                 active_sh_degree, region_lap_pos, region_lap_color,
                 lap_pos_w, lap_color_w, strip_idx),
             argnums=(0, 1), has_aux=True,

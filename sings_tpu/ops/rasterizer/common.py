@@ -54,8 +54,12 @@ def project_cov3d_to_2d(
     focal_y = camera.height / (2.0 * camera.tan_fovy)
 
     z = p_view[:, 2]
-    limx = 1.3 * (camera.clamp_tan_fovx or camera.tan_fovx)
-    limy = 1.3 * (camera.clamp_tan_fovy or camera.tan_fovy)
+    # `is None` (not `or`): the clamp fields may be traced scalars when
+    # the camera is built inside a sharded/batched step
+    limx = 1.3 * (camera.tan_fovx if camera.clamp_tan_fovx is None
+                  else camera.clamp_tan_fovx)
+    limy = 1.3 * (camera.tan_fovy if camera.clamp_tan_fovy is None
+                  else camera.clamp_tan_fovy)
     txtz = jnp.clip(p_view[:, 0] / z, -limx, limx)
     tytz = jnp.clip(p_view[:, 1] / z, -limy, limy)
     tx = txtz * z

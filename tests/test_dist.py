@@ -229,6 +229,122 @@ def test_sharded_gs4_grads_match_gs1():
             err_msg=jax.tree_util.keystr(path))
 
 
+def _perturb(params, eps=0.02):
+    return jax.tree.map(
+        lambda x: x * (1.0 + eps) + 0.001
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+
+def test_case_step_matches_single_chip_per_case():
+    """(case=2, gs=1) mesh: each case's update equals the single-chip
+    step run on that case's params with the case-folded rng."""
+    import optax
+
+    from sings_tpu.dist.train_cases import (
+        camera_arrays, make_case_mesh, make_case_train_step, shard_cases,
+        stack_cases)
+    from sings_tpu.train.step import make_train_step
+
+    (dt, cache, cfg, state, camera, kw, step_cfg, lpips_params,
+     region_lap, lap_w) = _sharded_setup()
+    tx = optax.sgd(1.0)
+    rng = jax.random.PRNGKey(5)
+    frame = jax.tree.map(lambda x: x[0], _make_batch(camera, 1))
+    cases_params = [state.params, _perturb(state.params)]
+
+    body = jax.jit(make_train_step(cfg, step_cfg, dt, camera, tx,
+                                   lpips_params, kw))
+    refs = []
+    for c, p in enumerate(cases_params):
+        p1, b1, o1, m1, _ = body(
+            p, state.buffers, tx.init(p), cache, frame,
+            jax.random.fold_in(rng, c), jnp.asarray(0), jnp.asarray(0),
+            region_lap, region_lap, lap_w, lap_w)
+        refs.append((p1, b1, m1))
+
+    mesh = make_case_mesh(2, 1)
+    step = make_case_train_step(mesh, cfg, step_cfg, dt, camera.height,
+                                camera.width, tx, lpips_params, kw)
+    sp = stack_cases(cases_params)
+    with mesh:
+        p2, b2, o2, m2 = step(
+            shard_cases(sp, mesh),
+            shard_cases(stack_cases([state.buffers] * 2), mesh),
+            shard_cases(jax.vmap(tx.init)(sp), mesh),
+            shard_cases(stack_cases([cache] * 2), mesh),
+            shard_cases(stack_cases([camera_arrays(camera)] * 2), mesh),
+            shard_cases(stack_cases([frame] * 2), mesh),
+            rng, 0, 0,
+            shard_cases(stack_cases([region_lap] * 2), mesh),
+            shard_cases(stack_cases([region_lap] * 2), mesh),
+            lap_w, lap_w)
+
+    for c in range(2):
+        p1, b1, m1 = refs[c]
+        for k in ("loss", "photo", "reg_l2", "connect", "lap_pos",
+                  "lap_color", "skipped"):
+            np.testing.assert_allclose(
+                float(np.asarray(m2[k])[c]), float(m1[k]), rtol=2e-4,
+                atol=1e-7, err_msg=f"case {c}: {k}")
+        for (path, a1), a2 in zip(
+                jax.tree_util.tree_flatten_with_path(p1)[0],
+                jax.tree.leaves(p2)):
+            a1, a2 = np.asarray(a1), np.asarray(a2)[c]
+            scale = max(np.abs(a1).max(), 1e-12)
+            np.testing.assert_allclose(
+                a2, a1, rtol=1e-3, atol=1e-4 * scale,
+                err_msg=f"case {c}: {jax.tree_util.keystr(path)}")
+        np.testing.assert_allclose(
+            np.asarray(b2.xyz_grad_accum)[c], np.asarray(b1.xyz_grad_accum),
+            rtol=1e-3, atol=1e-9)
+
+
+def test_case_step_with_gs_axis():
+    """(case=2, gs=4) mesh: strips + per-case states, finite losses,
+    deterministic across reruns."""
+    import optax
+
+    from sings_tpu.dist.train_cases import (
+        camera_arrays, make_case_mesh, make_case_train_step, shard_cases,
+        stack_cases)
+
+    (dt, cache, cfg, state, camera, kw, step_cfg, lpips_params,
+     region_lap, lap_w) = _sharded_setup()
+    tx = optax.adam(1e-3)
+    rng = jax.random.PRNGKey(5)
+    frame = jax.tree.map(lambda x: x[0], _make_batch(camera, 1))
+    sp = stack_cases([state.params, _perturb(state.params)])
+
+    mesh = make_case_mesh(2, 4)
+    step = make_case_train_step(mesh, cfg, step_cfg, dt, camera.height,
+                                camera.width, tx, lpips_params, kw)
+
+    def run():
+        with mesh:
+            return jax.tree.map(np.asarray, step(
+                shard_cases(sp, mesh),
+                shard_cases(stack_cases([state.buffers] * 2), mesh),
+                shard_cases(jax.vmap(tx.init)(sp), mesh),
+                shard_cases(stack_cases([cache] * 2), mesh),
+                shard_cases(stack_cases([camera_arrays(camera)] * 2), mesh),
+                shard_cases(stack_cases([frame] * 2), mesh),
+                rng, 0, 0,
+                shard_cases(stack_cases([region_lap] * 2), mesh),
+                shard_cases(stack_cases([region_lap] * 2), mesh),
+                lap_w, lap_w))
+
+    p, b, o, m = run()
+    assert m["loss"].shape == (2,)
+    assert np.isfinite(m["loss"]).all()
+    assert (m["skipped"] == 0).all()
+    # different params + different rng folding -> cases differ
+    assert m["loss"][0] != m["loss"][1]
+    p2, _, _, m2 = run()
+    np.testing.assert_array_equal(m2["loss"], m["loss"])
+    for a, b_ in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b_)
+
+
 def test_trainer_on_mesh_smoke(tmp_path):
     """Full Trainer wired to a (dp=2, gs=4) mesh: a few optimizer
     updates on the bundled kit run end-to-end (decode+render sharded),
