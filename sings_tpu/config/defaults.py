@@ -24,6 +24,9 @@ DEFAULTS = {
         "seq": "",
         "downscale": 1,
         "max_frames": None,
+        # simultaneous multi-case pool: pad per-frame pose params to
+        # this many frames (0 = off; set automatically by CasePool)
+        "pad_frames_to": 0,
     },
 
     "train": {

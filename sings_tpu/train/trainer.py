@@ -131,6 +131,18 @@ class Trainer:
             self._fit_synthetic_body(hcfg)
         self.template = DeviceTemplate.from_host(self.tpl)
 
+        # simultaneous multi-case training (train/trainer_cases.py)
+        # stacks per-frame pose params across cases, so every case must
+        # carry the same frame capacity; pad by repeating the last frame
+        pad_f = int(cfg.dataset.get("pad_frames_to", 0) or 0)
+        if pad_f > self.kit.smpl["body_pose"].shape[0]:
+            smpl = dict(self.kit.smpl)
+            extra = pad_f - smpl["body_pose"].shape[0]
+            for k in ("body_pose", "global_orient", "transl"):
+                smpl[k] = np.concatenate(
+                    [smpl[k], np.repeat(smpl[k][-1:], extra, axis=0)])
+            self.kit = self.kit._replace(smpl=smpl)
+
         # ---------------- avatar config + state
         n = self.tpl.num_verts
         max_n = int(hcfg.density_control.max_n_gaussians)
@@ -149,7 +161,7 @@ class Trainer:
             capacity=capacity,
             face_capacity=_round_up(capacity * 3, 256),
             edge_capacity=_round_up(capacity * 4, 256),
-            num_frames=len(self.kit.images),
+            num_frames=self.kit.smpl["body_pose"].shape[0],
             num_betas=len(self.kit.smpl["betas"]),
             sh_degree=hcfg.sh_degree,
             isotropic=hcfg.attribute_control.isotropic,
@@ -222,7 +234,7 @@ class Trainer:
             lap_impose_from=int(loss_cfg.laplacian.impose_from_iter),
         )
         dc = hcfg.density_control.hybrid
-        step_cfg = StepConfig(
+        self.step_cfg = step_cfg = StepConfig(
             weights=weights,
             opt_geo_from=hcfg.opt_geo_from,
             opt_app_from=hcfg.opt_app_from,
@@ -238,7 +250,7 @@ class Trainer:
                   f"{loss_cfg.lpips_w} -> {loss_cfg.lpips_w * factor}")
             weights = weights._replace(photometric=weights.photometric._replace(
                 lpips=loss_cfg.lpips_w * factor))
-            step_cfg = step_cfg._replace(weights=weights)
+            self.step_cfg = step_cfg = step_cfg._replace(weights=weights)
         self.raster_kw = default_raster_kw(cfg, self.camera.height,
                                            self.camera.width)
         self.train_step_body = make_train_step(
