@@ -49,7 +49,7 @@ def _composite_tiled(cfg, means2d, conics, colors, opacities, depths,
 
 
 def _gather_feats(binning, means2d, conics, colors, opacities, chunk):
-    """Sorted-order pair features (PK + chunk, NFEAT), zero-padded tail
+    """Sorted-order pair features (NFEAT, PK + chunk), zero-padded tail
     (see pallas_kernels module docstring)."""
     n = means2d.shape[0]
     idx = jnp.clip(binning.sorted_gauss, 0)
@@ -58,8 +58,8 @@ def _gather_feats(binning, means2d, conics, colors, opacities, chunk):
         [means2d, conics, colors, opacities[:, None],
          jnp.zeros((n, NFEAT - 9), means2d.dtype)], axis=1
     )
-    feats = feat[idx] * valid[:, None]
-    return jnp.pad(feats, ((0, chunk), (0, 0))), valid
+    feats = (feat[idx] * valid[:, None]).T
+    return jnp.pad(feats, ((0, 0), (0, chunk))), valid
 
 
 def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
@@ -125,12 +125,12 @@ def _composite_bwd(cfg, res, cot):
         interpret=cfg.interpret,
     )
     # zero the reserved spare slot (invalid pairs gather from it; the
-    # kernel never writes it), keep only the 9 used gradient columns, and
+    # kernel never writes it), keep only the 9 used gradient rows, and
     # un-sort with narrow row gathers (no float scatter; the glue is
     # gather-row-count-bound, hence the prefix + compacted-tail tables
     # instead of a dense (N, max_span^2) one — see tiles.py)
     n_used = 9
-    pair_grads = pair_grads.at[-1, :].set(0.0)[:, :n_used]  # (grad_cap, 9)
+    pair_grads = pair_grads.at[:, -1].set(0.0)[:n_used].T  # (grad_cap, 9)
     mw = main_slot.shape[1]
     pg = pair_grads[main_slot.reshape(-1)].reshape(n, mw, n_used).sum(axis=1)
     tc, tw = tail_slot.shape

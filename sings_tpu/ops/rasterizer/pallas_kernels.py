@@ -27,15 +27,12 @@ gs_renderer_single.py:87-95). Key mapping decisions:
     per-tile regions are padded so chunk writes stay 128-aligned) and
     are reduced outside with a gather (never a float scatter).
 
-Pair features layout (PK + CHUNK, 16) float32 — pair-major so each
-chunk DMA is ONE contiguous 8KB window (the feature-major layout
-measured slower: 16 strided 512B segments per window, a per-chunk
-in-kernel transpose, and an 18MB XLA transpose to un-sort the
-gradients). The extra CHUNK rows are zero padding for the last window
-overrun. Columns:
+Pair features layout (16, PK + CHUNK) float32 — transposed so chunk DMA
+slices the minor (pair) axis; the extra CHUNK columns are zero padding
+for the last window overrun. Rows:
   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c |
   5 r | 6 g | 7 b | 8 opacity | 9..15 zero
-Backward writes gradients in the same column layout (col 8 = d_opacity).
+Backward writes gradients in the same row layout (row 8 = d_opacity).
 """
 from __future__ import annotations
 
@@ -130,7 +127,7 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
     def start_dma(c, slot):
         off = pl.multiple_of(base + c * chunk, chunk)
         pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(off, chunk), :], fscratch.at[slot],
+            feats_hbm.at[:, pl.ds(off, chunk)], fscratch.at[slot],
             sem.at[slot],
         ).start()
 
@@ -148,10 +145,10 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
 
         off = pl.multiple_of(base + c * chunk, chunk)
         pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(off, chunk), :], fscratch.at[slot],
+            feats_hbm.at[:, pl.ds(off, chunk)], fscratch.at[slot],
             sem.at[slot],
         ).wait()
-        f = fscratch[slot]  # (chunk, NFEAT)
+        f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
         pair_ok = (gidx >= start) & (gidx < end)
         alpha, _, _, _ = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
@@ -190,7 +187,7 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
     def _():
         off = pl.multiple_of(base + c_done * chunk, chunk)
         pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(off, chunk), :],
+            feats_hbm.at[:, pl.ds(off, chunk)],
             fscratch.at[c_done % 2], sem.at[c_done % 2],
         ).wait()
 
@@ -230,15 +227,15 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
     def write_dma(c, slot):
         return pltpu.make_async_copy(
             gscratch.at[slot],
-            grads_hbm.at[pl.ds(pl.multiple_of(gbase + c * chunk, chunk),
-                               chunk), :],
+            grads_hbm.at[:, pl.ds(pl.multiple_of(gbase + c * chunk, chunk),
+                                  chunk)],
             osem.at[slot],
         )
 
     def read_dma(c, slot):
         off = pl.multiple_of(base + c * chunk, chunk)
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(off, chunk), :], fscratch.at[slot],
+            feats_hbm.at[:, pl.ds(off, chunk)], fscratch.at[slot],
             sem.at[slot],
         )
 
@@ -261,7 +258,7 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
             write_dma(c - 2, slot).wait()
 
         off = pl.multiple_of(base + c * chunk, chunk)
-        f = fscratch[slot]  # (chunk, NFEAT)
+        f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
         pair_ok = (gidx >= start) & (gidx < end)
         alpha, gv, mx, my = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
@@ -301,10 +298,11 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         d_b = jnp.sum(g_rgb[2:3] * w, axis=1, keepdims=True)
 
         zeros = jnp.zeros((chunk, 1), jnp.float32)
-        gscratch[slot] = jnp.concatenate(
+        gchunk = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_r, d_g, d_b, dl_dop,
              zeros, zeros, zeros, zeros, zeros, zeros, zeros], axis=1
-        )  # (chunk, NFEAT)
+        )
+        gscratch[slot] = jnp.transpose(gchunk, (1, 0))  # (NFEAT, chunk)
         write_dma(c, slot).start()
 
         cpg = upg[chunk - 1:chunk, :]  # inclusive-cumsum last row
@@ -340,7 +338,7 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
 
     # early exit leaves later chunks unwritten; pairs there were never
     # composited (flags false) so their gradients are zero — flush zeros
-    gscratch[0] = jnp.zeros((chunk, NFEAT), jnp.float32)
+    gscratch[0] = jnp.zeros((NFEAT, chunk), jnp.float32)
 
     def zero_body(c, _):
         dma = write_dma(c, 0)
@@ -359,7 +357,7 @@ def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
                   interpret=False):
     """Run the forward kernel.
 
-    feats: (PK + chunk, NFEAT) sorted-order pair features.
+    feats: (NFEAT, PK + chunk) sorted-order pair features.
     offsets: (T+1,) int32 unaligned tile offsets into sorted order.
     Returns (T, 8, tile*tile): rows 0-2 accumulated color (no background),
     row 3 final transmittance.
@@ -374,7 +372,7 @@ def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
             (1, 8, npx), lambda t, offs: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, NFEAT), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -397,7 +395,7 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
                   chunk, n_tiles_x, n_tiles_y, grad_cap, interpret=False):
     """Run the backward kernel.
 
-    Returns per-pair gradients (grad_cap, NFEAT) in the aligned
+    Returns per-pair gradients (NFEAT, grad_cap) in the aligned
     grad-buffer layout (tiles.TileBinning.grad_offsets; slot tables
     main_slot/tail_slot index into it). Unwritten slots (region tails,
     the reserved spare) are undefined — the slot tables point only at
@@ -418,8 +416,8 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, NFEAT), jnp.float32),
-            pltpu.VMEM((2, chunk, NFEAT), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -430,7 +428,7 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((grad_cap, NFEAT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NFEAT, grad_cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(offsets, grad_offsets, feats, fwd_out, gout)

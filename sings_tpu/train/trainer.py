@@ -29,7 +29,9 @@ from ..kinematics.template import (
 )
 from ..losses.lpips import get_lpips, lpips_distance
 from ..losses.photometric import PhotometricWeights
-from ..losses.regularizers import L2NormConfig, build_region_laplacian
+from ..losses.regularizers import (
+    L2NormConfig, build_cot_region_laplacian, build_region_laplacian,
+)
 from ..model.avatar import (
     AvatarConfig, avatar_forward, avatar_forward_chunk, fit_initial_attrs,
     get_gs_attrs, init_avatar, initial_attr_targets,
@@ -305,6 +307,7 @@ class Trainer:
         self.lap_color_w = jnp.asarray(parse_region_weights(
             loss_cfg.laplacian.color_regions_w, DEFAULT_COLOR_REGIONS_W))
         self._lap_pad = None
+        self._lap_rows_pad = None
         self._rebuild_laplacians()
 
         self.density_cfg = dict(dc)
@@ -383,11 +386,32 @@ class Trainer:
         # pruned vertices don't enter the laplacian as isolated rows
         labels = np.where(np.asarray(b.alive) > 0.5,
                           np.asarray(b.vertex_label), -1)
-        # grow-only neighbor-table width so the padded shapes (and the
-        # compiled step) stay stable across most topology changes
-        self.region_lap = build_region_laplacian(
-            edges, labels, np.asarray(self.lap_pos_w), num_regions=15,
-            pad_to=self._lap_pad or 8)
+        lap_type = str(self.cfg.human.loss.laplacian.type)
+        if lap_type == "cotangent":
+            # weights depend on current canonical anchor positions and
+            # are frozen between rebuilds, like the reference's
+            # torch.no_grad() build (loss_items.py:165-167)
+            faces = np.asarray(b.faces)[np.asarray(b.face_valid) > 0.5]
+            verts = np.asarray(self.params.xyz)
+            self.region_lap = build_cot_region_laplacian(
+                verts, faces, labels, np.asarray(self.lap_pos_w),
+                num_regions=15,
+                pad_rows_to=self._lap_rows_pad,
+                pad_width_to=self._lap_pad or 8)
+            self._lap_rows_pad = max(self._lap_rows_pad or 0,
+                                     self.region_lap.neighbors.shape[0])
+        elif lap_type == "standard":
+            # grow-only neighbor-table width so the padded shapes (and
+            # the compiled step) stay stable across topology changes
+            self.region_lap = build_region_laplacian(
+                edges, labels, np.asarray(self.lap_pos_w), num_regions=15,
+                pad_to=self._lap_pad or 8)
+        else:
+            # 'norm' raises in the reference too (loss_items.py:111-113)
+            raise NotImplementedError(
+                f"laplacian.type={lap_type!r} (reference supports "
+                "'standard'; 'cotangent'; 'norm' is NotImplementedError "
+                "there as well)")
         self._lap_pad = max(self._lap_pad or 8,
                             self.region_lap.neighbors.shape[1])
 
