@@ -155,9 +155,10 @@ def make_case_train_step(
         return ex(params), ex(buffers), ex(opt_state), ex(metrics)
 
     C = P("case")
+    CG = P("case", "gs")  # stacked ShardedRegionLaplacian tables
     sharded = shard_map(
         per_device, mesh=mesh,
-        in_specs=(C, C, C, C, C, C, P(), P(), P(), C, C, P(), P()),
+        in_specs=(C, C, C, C, C, C, P(), P(), P(), CG, CG, P(), P()),
         out_specs=(C, C, C, C),
         check_vma=False,
     )

@@ -49,7 +49,7 @@ from jax import shard_map
 from ..losses.lpips import lpips_distance
 from ..losses.photometric import masked_l1, sample_patches
 from ..losses.regularizers import (
-    gaussians_edge_loss, l2_norm_loss, mesh_edge_loss,
+    gaussians_edge_loss_rows, l2_norm_loss, mesh_edge_loss,
 )
 from ..model.avatar import AvatarConfig, avatar_forward
 from ..ops.graphics import Camera
@@ -195,9 +195,17 @@ def make_frame_loss(
             photo_d["lpips_patch"] = pw.lpips * (d * wj).sum() / npatch
             photo = photo + photo_d["lpips_patch"]
 
-        # ---- per-gaussian regularizers: replicated on the gathered
-        # arrays, / n_gs so the rank-sum counts them once (gradients
-        # route through the all_gather transpose — exact)
+        # ---- per-gaussian regularizers over the gathered arrays.
+        # The O(N*D) table passes (region laplacians via the
+        # ShardedRegionLaplacian row split) and the O(N^2/blocks) KNN
+        # matmuls (gaussians_edge_loss_rows query split) are LOCAL row
+        # contributions whose gs rank-sum is the global term — no
+        # replicated heavy work (VERDICT r1 item 6). Gradients route
+        # back through the all_gather transpose (psum_scatter — exact).
+        # l2-norm and mesh-edge stay replicated / n_gs: both are a few
+        # elementwise reductions (l2's sqrt needs the GLOBAL sum, so a
+        # row split would need a param-dependent psum inside grad,
+        # which the GRADIENT-SAFETY RULE above forbids) and cost ~none.
         alive = buffers.alive
         zero = jnp.float32(0.0)
         use_op_norm = step >= step_cfg.opacity_norm_from
@@ -211,9 +219,10 @@ def make_frame_loss(
             jax.lax.stop_gradient(out["xyz_canon"]), buffers.edges,
             buffers.edge_valid) / n_gs
         connect = zero if w.gaussian_connect == 0 else (
-            w.gaussian_connect * gaussians_edge_loss(
-                jax.lax.stop_gradient(out["xyz_canon"]),
-                out["scales"], alive, k=step_cfg.knn_k) / n_gs)
+            w.gaussian_connect * gaussians_edge_loss_rows(
+                jax.lax.stop_gradient(out["xyz_canon"]), out["scales"],
+                alive, row_start=strip_idx * gauss_shard,
+                rows=gauss_shard, k=step_cfg.knn_k))
 
         pos_terms = []
         if w.lap_position_strength != 0:
@@ -225,15 +234,16 @@ def make_frame_loss(
         lap_pos = (fused.pop(0) if w.lap_position_strength != 0 else zero)
         hand_raw = fused.pop(0) if w.hand_lap_weight * w.hand_strength \
             != 0 else zero
-        lap_color = (region_lap_color.loss(out["shs"][:, 0], lap_color_w)
-                     if w.lap_color_strength != 0 else zero)
+        lap_color = (region_lap_color.loss_fused(
+            [(out["shs"][:, 0], lap_color_w, None)])[0]
+            if w.lap_color_strength != 0 else zero)
         ramp = jnp.clip(
             (step - w.lap_impose_from) / max(w.lap_impose_from, 1), 0, 1)
         alpha = w.lap_position_strength * ramp * jnp.where(
             step > w.lap_double_after, 2.0, 1.0)
-        lap_pos_loss = alpha * lap_pos / n_gs
-        lap_color_loss = w.lap_color_strength * lap_color / n_gs
-        hand_lap = w.hand_lap_weight * w.hand_strength * hand_raw / n_gs
+        lap_pos_loss = alpha * lap_pos
+        lap_color_loss = w.lap_color_strength * lap_color
+        hand_lap = w.hand_lap_weight * w.hand_strength * hand_raw
 
         total = (photo + reg + edge + connect + lap_pos_loss
                  + lap_color_loss + hand_lap)
@@ -347,8 +357,10 @@ def make_sharded_train_step(
 
     sharded = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("dp"), P(), P(), P(), P(), P(),
-                  P(), P()),
+        # region-laplacian tables are ShardedRegionLaplacian pytrees
+        # stacked on a leading gs axis -> one row range per rank
+        in_specs=(P(), P(), P(), P(), P("dp"), P(), P(), P(),
+                  P("gs"), P("gs"), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -367,8 +379,8 @@ def make_sharded_train_step(
         lambda p, b, c, batch, rng, s, a, rlp, rlc, wp, wc: _core(
             p, b, c, batch, rng, s, a, rlp, rlc, wp, wc)[:2],
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P(), P(), P(), P(), P(), P(),
-                  P()),
+        in_specs=(P(), P(), P(), P("dp"), P(), P(), P(),
+                  P("gs"), P("gs"), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     ))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.knn import knn
+from ..ops.knn import knn, knn_rows
 
 
 def _masked_norm(x: jax.Array, mask: jax.Array) -> jax.Array:
@@ -81,6 +81,28 @@ def gaussians_edge_loss(
         jnp.sqrt(jnp.maximum(dists[:, 1:], 1e-24)).mean(axis=1)
     )
     err = (scales[:, 0] - edge_len) ** 2 * alive
+    return err.sum() / jnp.maximum(alive.sum(), 1.0)
+
+
+def gaussians_edge_loss_rows(
+    xyz_canon: jax.Array, scales: jax.Array, alive: jax.Array,
+    row_start, rows: int, k: int = 9, approx: bool = True,
+) -> jax.Array:
+    """gaussians_edge_loss restricted to a contiguous query-row range.
+
+    Local contribution of one "gs" mesh rank; the rank-sum over all
+    ranks equals gaussians_edge_loss (same KNN candidates = all points,
+    same global alive normalizer). The distance matmuls and top-k cost
+    shrink by the mesh size (dist/train_sharded.py, VERDICT r1 item 6).
+    """
+    dists, _idx = knn_rows(xyz_canon, k, row_start=row_start, rows=rows,
+                           valid=alive > 0, approx=approx)
+    edge_len = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.maximum(dists[:, 1:], 1e-24)).mean(axis=1)
+    )
+    s_loc = jax.lax.dynamic_slice_in_dim(scales[:, 0], row_start, rows)
+    a_loc = jax.lax.dynamic_slice_in_dim(alive, row_start, rows)
+    err = (s_loc - edge_len) ** 2 * a_loc
     return err.sum() / jnp.maximum(alive.sum(), 1.0)
 
 
@@ -446,4 +468,120 @@ def build_cot_region_laplacian(
         label=jnp.asarray(lbl.astype(np.int32)),
         row_w=jnp.asarray(row_w),
         weights=jnp.asarray(np.asarray(region_weights, np.float32)),
+    )
+
+
+class ShardedRegionLaplacian(NamedTuple):
+    """RegionLaplacian split into n_gs contiguous row ranges, one per
+    "gs" mesh rank (VERDICT r1 item 6 — no replicated O(N) loss work).
+
+    Every field is stacked on a leading gs axis so shard_map in_specs
+    can shard the whole pytree with P("gs"); inside shard_map each rank
+    sees its own slice (leading axis 1, squeezed by loss_fused).
+
+      neighbors/nbr_w: (gs, C/gs, D) local rows -> GLOBAL vertex slots,
+                       weight = 1/deg(i) (row-normalized uniform L)
+      t_neighbors/t_w: (gs, C, Dt) transpose table: for global vertex v,
+                       the LOCAL row indices i (within this rank's row
+                       range) adjacent to v, weight 1/deg(i) — backward
+                       stays a gather (never a float scatter)
+      label/vert_valid:(gs, C/gs) per local row
+      inv_count/weights:(gs, R) replicated copies
+      row_start:       (gs,) int32 global index of the first local row
+    """
+
+    neighbors: jax.Array
+    nbr_w: jax.Array
+    t_neighbors: jax.Array
+    t_w: jax.Array
+    label: jax.Array
+    vert_valid: jax.Array
+    inv_count: jax.Array
+    weights: jax.Array
+    row_start: jax.Array
+
+    def loss_fused(self, terms) -> list[jax.Array]:
+        """Local-rank contributions; their "gs" rank-sum equals
+        RegionLaplacian.loss_fused on the full table. x entries are
+        GLOBAL (C, F) arrays (e.g. all_gathered); gradients flow back
+        through the transpose-table gather + a dynamic_update_slice pad,
+        both scatter-free."""
+        nb, w = self.neighbors[0], self.nbr_w[0]
+        nbt, wt = self.t_neighbors[0], self.t_w[0]
+        label, vert_valid = self.label[0], self.vert_valid[0]
+        inv_count, weights = self.inv_count[0], self.weights[0]
+        row0 = self.row_start[0]
+        rows = nb.shape[0]
+
+        xcat = jnp.concatenate([t[0] for t in terms], axis=-1)
+        mean_nb = _weighted_neighbor_sum(nb, w, nbt, wt, xcat)
+        lx = mean_nb - jax.lax.dynamic_slice_in_dim(xcat, row0, rows)
+        outs = []
+        f0 = 0
+        for x, region_weights, regions in terms:
+            f = x.shape[-1]
+            lxi = lx[:, f0: f0 + f]
+            f0 += f
+            per_v = jnp.sum(lxi * lxi, axis=-1) * vert_valid
+            rw = weights if region_weights is None else region_weights
+            wv = (rw * inv_count)[label] / f
+            if regions is not None:
+                sel = jnp.zeros(label.shape, bool)
+                for r in regions:
+                    sel = sel | (label == r)
+                wv = wv * sel.astype(x.dtype)
+            outs.append(jnp.sum(per_v * wv))
+        return outs
+
+
+def shard_region_laplacian(rl: RegionLaplacian, n_gs: int,
+                           pad_t_width_to: int | None = None,
+                           ) -> ShardedRegionLaplacian:
+    """Host-side split of a built RegionLaplacian into n_gs row ranges.
+
+    Transpose-table width is padded to the max across ranks (or
+    pad_t_width_to — the case pool needs one width across cases) so
+    shapes are rank-uniform; grow-only callers keep the compiled step
+    stable across topology changes the same way build_region_laplacian's
+    pad_to does.
+    """
+    nb = np.asarray(rl.neighbors)
+    nv = np.asarray(rl.nbr_valid)
+    c, d = nb.shape
+    assert c % n_gs == 0, "capacity must split over gs"
+    rows = c // n_gs
+    deg = np.maximum(nv.sum(-1), 1.0)
+    w_full = (nv / deg[:, None]).astype(np.float32)
+
+    # COO of the full table once
+    src = np.repeat(np.arange(c), d)
+    dst = nb.reshape(-1)
+    val = w_full.reshape(-1)
+    keep = nv.reshape(-1) > 0
+    src, dst, val = src[keep], dst[keep], val[keep]
+
+    t_nb, t_w = [], []
+    dt = pad_t_width_to or 1
+    for r in range(n_gs):
+        lo, hi = r * rows, (r + 1) * rows
+        m = (src >= lo) & (src < hi)
+        tnb, tw = _pad_table(dst[m], src[m] - lo, val[m], c)
+        t_nb.append(tnb)
+        t_w.append(tw)
+        dt = max(dt, tnb.shape[1])
+    t_nb = [np.pad(t, ((0, 0), (0, dt - t.shape[1]))) for t in t_nb]
+    t_w = [np.pad(t, ((0, 0), (0, dt - t.shape[1]))) for t in t_w]
+
+    sl = lambda a: np.asarray(a).reshape(n_gs, rows, *np.asarray(a).shape[1:])  # noqa: E731
+    rep = lambda a: np.tile(np.asarray(a)[None], (n_gs, 1))  # noqa: E731
+    return ShardedRegionLaplacian(
+        neighbors=jnp.asarray(sl(nb)),
+        nbr_w=jnp.asarray(sl(w_full)),
+        t_neighbors=jnp.asarray(np.stack(t_nb)),
+        t_w=jnp.asarray(np.stack(t_w)),
+        label=jnp.asarray(sl(rl.label)),
+        vert_valid=jnp.asarray(sl(rl.vert_valid)),
+        inv_count=jnp.asarray(rep(rl.inv_count)),
+        weights=jnp.asarray(rep(rl.weights)),
+        row_start=jnp.asarray(np.arange(n_gs, dtype=np.int32) * rows),
     )

@@ -64,3 +64,41 @@ def knn(points: jax.Array, k: int, *, valid: jax.Array | None = None,
     dists = dists.reshape(-1, k)[:n]
     idx = idx.reshape(-1, k)[:n]
     return jnp.maximum(dists, 0.0), idx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "rows", "block", "approx"))
+def knn_rows(points: jax.Array, k: int, *, row_start, rows: int,
+             valid: jax.Array | None = None, block: int = 4096,
+             approx: bool = False):
+    """knn() restricted to the query slice [row_start, row_start+rows).
+
+    Candidate set is still ALL points. Used by the gs-sharded train step
+    so each mesh rank computes the KNN edge statistic only for its own
+    capacity/gs query rows (dist/train_sharded.py) — the distance
+    matmuls and top-k shrink by the mesh size while the result equals
+    the matching rows of knn().
+    """
+    n = points.shape[0]
+    sq = jnp.sum(points * points, axis=-1)
+    big = jnp.float32(jnp.inf)
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+
+    # largest divisor of rows <= block so the block loop tiles the row
+    # range exactly (static shapes, no overlap)
+    bl = next(d for d in range(min(block, rows), 0, -1) if rows % d == 0)
+
+    def one_block(start):
+        q = jax.lax.dynamic_slice_in_dim(points, start, bl, axis=0)
+        qsq = jax.lax.dynamic_slice_in_dim(sq, start, bl, axis=0)
+        d2 = qsq[:, None] + sq[None, :] - 2.0 * (q @ points.T)
+        d2 = jnp.where(valid[None, :], d2, big)
+        if approx:
+            return jax.lax.approx_min_k(d2, k, recall_target=0.95)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+
+    starts = row_start + jnp.arange(rows // bl) * bl
+    dists, idx = jax.lax.map(one_block, starts)
+    return jnp.maximum(dists.reshape(-1, k), 0.0), idx.reshape(-1, k)

@@ -284,15 +284,23 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         dl_dg = f[:, 8:9] * dl_da
         dl_dop = jnp.sum(gv * dl_da, axis=1, keepdims=True)
         dl_dpow = dl_dg * gv
-        ca, cb = f[:, 2:3], f[:, 3:4]
+        ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
         dx = mx - px_x
         dy = my - px_y
-        d_mx = jnp.sum(dl_dpow * -(ca * dx + cb * dy), axis=1, keepdims=True)
-        d_my = jnp.sum(dl_dpow * -(f[:, 4:5] * dy + cb * dx), axis=1,
-                       keepdims=True)
-        d_ca = jnp.sum(dl_dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cb = jnp.sum(dl_dpow * (-dx * dy), axis=1, keepdims=True)
-        d_cc = jnp.sum(dl_dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+        # CSE: with u = dl_dpow*dx, v = dl_dpow*dy, the five quadratic
+        # reductions share moments — per-pair conic columns factor OUT
+        # of the pixel reductions (d_mx = -(ca*sum(u) + cb*sum(v))),
+        # saving ~7 full (chunk, npx) elementwise ops per chunk on the
+        # VPU-bound walk
+        u = dl_dpow * dx
+        v = dl_dpow * dy
+        su = jnp.sum(u, axis=1, keepdims=True)
+        sv = jnp.sum(v, axis=1, keepdims=True)
+        d_mx = -(ca * su + cb * sv)
+        d_my = -(cc * sv + cb * su)
+        d_ca = -0.5 * jnp.sum(u * dx, axis=1, keepdims=True)
+        d_cb = -jnp.sum(u * dy, axis=1, keepdims=True)
+        d_cc = -0.5 * jnp.sum(v * dy, axis=1, keepdims=True)
         d_r = jnp.sum(g_rgb[0:1] * w, axis=1, keepdims=True)
         d_g = jnp.sum(g_rgb[1:2] * w, axis=1, keepdims=True)
         d_b = jnp.sum(g_rgb[2:3] * w, axis=1, keepdims=True)

@@ -149,6 +149,45 @@ def bin_gaussians(
     valid = j[None, :] < span[:, None]
     tile_id = (y0c[:, None] + dy) * n_tiles_x + (x0c[:, None] + dx)
 
+    # exact per-pair tile culling. The CUDA rasterizer duplicates a
+    # gaussian into EVERY tile of its bounding rect (forward.cu
+    # duplicateWithKeys / getRect); corner tiles the ellipse never
+    # reaches still ride through its sort + per-tile walks. Here each
+    # (gaussian, tile) pair is kept only if the gaussian's peak alpha
+    # over the tile's pixel box can reach ALPHA_MIN = 1/255 — below
+    # that the composite kernel zeroes alpha anyway (_chunk_alpha), so
+    # dropping the pair is NUMERICALLY EXACT for the image and all
+    # gradients while cutting pair count (and the VPU-bound kernel
+    # walks + glue) substantially. Peak alpha bound: minimize the
+    # conic quadratic q(d) = .5a dx^2 + .5c dy^2 + b dxdy over the
+    # continuous tile box (a lower bound of the discrete pixel min,
+    # hence conservative): 0 if the mean is inside, else the best of
+    # the four clamped edge minimizers.
+    a_ = g.conics[:, 0:1]
+    b_ = g.conics[:, 1:2]
+    c_ = g.conics[:, 2:3]
+    a_s = jnp.maximum(a_, 1e-12)
+    c_s = jnp.maximum(c_, 1e-12)
+    bx0 = (x0c[:, None] + dx).astype(jnp.float32) * tile - g.means2d[:, 0:1]
+    by0 = (y0c[:, None] + dy).astype(jnp.float32) * tile - g.means2d[:, 1:2]
+    bx1 = bx0 + (tile - 1)
+    by1 = by0 + (tile - 1)
+
+    def _qx(x):  # min over dy in [by0, by1] at fixed dx = x
+        yy = jnp.clip(-b_ * x / c_s, by0, by1)
+        return (0.5 * a_ * x + b_ * yy) * x + 0.5 * c_ * yy * yy
+
+    def _qy(y):
+        xx = jnp.clip(-b_ * y / a_s, bx0, bx1)
+        return (0.5 * c_ * y + b_ * xx) * y + 0.5 * a_ * xx * xx
+
+    inside = (bx0 <= 0) & (bx1 >= 0) & (by0 <= 0) & (by1 >= 0)
+    q_min = jnp.minimum(jnp.minimum(_qx(bx0), _qx(bx1)),
+                        jnp.minimum(_qy(by0), _qy(by1)))
+    q_min = jnp.where(inside, 0.0, q_min)
+    reach = q_min <= jnp.log(jnp.maximum(g.opacities[:, None], 1e-12) * 255.0)
+    valid = valid & reach
+
     assert n_tiles * n < 2**31 - 1, "int32 sort key overflow"
     key = jnp.where(valid, tile_id * n + rank[:, None], INVALID).reshape(-1)
 

@@ -31,6 +31,7 @@ from ..losses.lpips import get_lpips, lpips_distance
 from ..losses.photometric import PhotometricWeights
 from ..losses.regularizers import (
     L2NormConfig, build_cot_region_laplacian, build_region_laplacian,
+    shard_region_laplacian,
 )
 from ..model.avatar import (
     AvatarConfig, avatar_forward, avatar_forward_chunk, fit_initial_attrs,
@@ -414,6 +415,13 @@ class Trainer:
                 "there as well)")
         self._lap_pad = max(self._lap_pad or 8,
                             self.region_lap.neighbors.shape[1])
+        if self.mesh is not None:
+            if lap_type != "standard":
+                raise NotImplementedError(
+                    "tpu.mesh gs-sharding supports laplacian.type="
+                    "'standard' only")
+            self.region_lap_mesh = shard_region_laplacian(
+                self.region_lap, int(self.mesh.shape["gs"]))
 
     # ------------------------------------------------------------------
     def train(self):
@@ -462,7 +470,7 @@ class Trainer:
                     self.params, self.buffers, self.opt_state, self.cache,
                     shard_batch(batch, self.mesh), key, jnp.asarray(t_iter),
                     jnp.asarray(self.active_sh_degree),
-                    self.region_lap, self.region_lap,
+                    self.region_lap_mesh, self.region_lap_mesh,
                     self.lap_pos_w, self.lap_color_w,
                 )
                 last_loss = metrics["loss"]
@@ -780,6 +788,9 @@ class Trainer:
                     gt, img, os.path.join(
                         self.logdir, "val", f"full_{iter_s}_{i:03d}.png"))
         result = {k: float(np.mean(v)) for k, v in metrics.items()}
+        # random-feature LPIPS is a usable training signal but NOT
+        # comparable to the reference's pretrained-VGG metric — flag it
+        result["lpips_pretrained"] = bool(self.lpips_params.pretrained)
         self.eval_metrics[iter_s] = result
         print(f"[val {iter_s}] " + " ".join(
             f"{k}={v:.4f}" for k, v in result.items()), flush=True)

@@ -112,12 +112,25 @@ class CasePool:
                 t._rebuild_laplacians()
 
     def _stack_state(self):
+        from ..losses.regularizers import shard_region_laplacian
+
         ts = self.trainers
         sc = lambda xs: shard_cases(stack_cases(xs), self.mesh)  # noqa: E731
         self._params = sc([t.params for t in ts])
         self._buffers = sc([t.buffers for t in ts])
         self._opt = sc([t.opt_state for t in ts])
-        self._rlap = sc([t.region_lap for t in ts])
+        # gs-sharded laplacian row ranges, one transpose width across
+        # cases so the stacked (case, gs, ...) tables are one array
+        n_gs = int(self.mesh.shape["gs"])
+        srls = [shard_region_laplacian(t.region_lap, n_gs) for t in ts]
+        dt = max(s.t_neighbors.shape[-1] for s in srls)
+        srls = [s if s.t_neighbors.shape[-1] == dt else
+                shard_region_laplacian(t.region_lap, n_gs,
+                                       pad_t_width_to=dt)
+                for s, t in zip(srls, ts)]
+        self._rlap = jax.device_put(
+            stack_cases(srls),
+            jax.NamedSharding(self.mesh, jax.P("case", "gs")))
 
     def _unstack_state(self, t_iter: int):
         for c, t in enumerate(self.trainers):

@@ -75,6 +75,12 @@ def _sharded_setup():
             region_lap, lap_w)
 
 
+def _srl(region_lap, n_gs):
+    from sings_tpu.losses.regularizers import shard_region_laplacian
+
+    return shard_region_laplacian(region_lap, n_gs)
+
+
 def _make_batch(camera, dp):
     h, w = camera.height, camera.width
     return {
@@ -119,7 +125,7 @@ def test_sharded_mesh11_matches_single_chip_step():
             replicate(state.params, mesh), replicate(state.buffers, mesh),
             tx.init(state.params), replicate(cache, mesh),
             shard_batch(batch, mesh), rng, 0, 0,
-            replicate(region_lap, mesh), replicate(region_lap, mesh),
+            _srl(region_lap, 1), _srl(region_lap, 1),
             replicate(lap_w, mesh), replicate(lap_w, mesh))
 
     for k in ("loss", "photo", "reg_l2", "connect", "lap_pos", "lap_color",
@@ -168,7 +174,7 @@ def test_sharded_step_gs4_dp2():
                 replicate(state.params, mesh), replicate(state.buffers, mesh),
                 tx.init(state.params), replicate(cache, mesh),
                 shard_batch(batch, mesh), rng, 0, 0,
-                replicate(region_lap, mesh), replicate(region_lap, mesh),
+                _srl(region_lap, gs), _srl(region_lap, gs),
                 replicate(lap_w, mesh), replicate(lap_w, mesh))
         return jax.tree.map(np.asarray, (p, m))
 
@@ -211,7 +217,7 @@ def test_sharded_gs4_grads_match_gs1():
                 replicate(state.params, mesh), replicate(state.buffers, mesh),
                 replicate(cache, mesh), shard_batch(batch, mesh), rng,
                 jnp.asarray(0), jnp.asarray(0),
-                replicate(region_lap, mesh), replicate(region_lap, mesh),
+                _srl(region_lap, gs), _srl(region_lap, gs),
                 replicate(lap_w, mesh), replicate(lap_w, mesh))
         return float(loss), jax.tree.map(np.asarray, g)
 
@@ -275,8 +281,8 @@ def test_case_step_matches_single_chip_per_case():
             shard_cases(stack_cases([camera_arrays(camera)] * 2), mesh),
             shard_cases(stack_cases([frame] * 2), mesh),
             rng, 0, 0,
-            shard_cases(stack_cases([region_lap] * 2), mesh),
-            shard_cases(stack_cases([region_lap] * 2), mesh),
+            shard_cases(stack_cases([_srl(region_lap, 1)] * 2), mesh),
+            shard_cases(stack_cases([_srl(region_lap, 1)] * 2), mesh),
             lap_w, lap_w)
 
     for c in range(2):
@@ -329,8 +335,8 @@ def test_case_step_with_gs_axis():
                 shard_cases(stack_cases([camera_arrays(camera)] * 2), mesh),
                 shard_cases(stack_cases([frame] * 2), mesh),
                 rng, 0, 0,
-                shard_cases(stack_cases([region_lap] * 2), mesh),
-                shard_cases(stack_cases([region_lap] * 2), mesh),
+                shard_cases(stack_cases([_srl(region_lap, 4)] * 2), mesh),
+                shard_cases(stack_cases([_srl(region_lap, 4)] * 2), mesh),
                 lap_w, lap_w))
 
     p, b, o, m = run()

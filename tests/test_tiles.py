@@ -33,18 +33,37 @@ def test_binning_matches_bruteforce():
     x0, y0, x1, y1 = (np.asarray(v) for v in tile_rect(g, tile, ntx, nty))
     mask = np.asarray(g.mask)
     depths = np.asarray(g.depths)
+    means2d = np.asarray(g.means2d)
+    conics = np.asarray(g.conics)
+    opacs = np.asarray(g.opacities)
+
+    def peak_alpha(i, tx, ty):
+        # discrete max alpha of gaussian i over tile (tx, ty)'s pixels
+        px, py = np.meshgrid(np.arange(tile) + tx * tile,
+                             np.arange(tile) + ty * tile)
+        dx = means2d[i, 0] - px
+        dy = means2d[i, 1] - py
+        a, bb, c = conics[i]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - bb * dx * dy
+        alpha = np.minimum(0.99, opacs[i] * np.exp(power))
+        return np.where(power > 0, 0.0, alpha).max()
 
     offs = np.asarray(b.tile_offsets)
     sg = np.asarray(b.sorted_gauss)
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
-        want = [
+        rect = [
             i for i in range(len(mask))
             if mask[i] and x0[i] <= tx < x1[i] and y0[i] <= ty < y1[i]
         ]
-        want.sort(key=lambda i: depths[i])
+        # pairs the composite kernel would give nonzero alpha MUST be
+        # kept (culling is conservative); sub-1/255 rect pairs MAY be
+        # culled (they are exact zeros in the kernel either way)
+        must = [i for i in rect if peak_alpha(i, tx, ty) >= 1.0 / 255.0]
         got = [int(v) for v in sg[offs[t]:offs[t + 1]]]
-        assert got == want, (t, got, want)
+        assert set(must) <= set(got) <= set(rect), (t, got, must, rect)
+        want_order = sorted(got, key=lambda i: depths[i])
+        assert got == want_order, (t, got, want_order)
 
     assert int(b.overflow) == 0
 
