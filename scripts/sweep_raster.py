@@ -42,5 +42,7 @@ def run(tag, **kw):
 
 
 run("chunk=128 (current)", tile=16, chunk=128, max_span=3, max_pairs=262144)
-run("chunk=256", tile=16, chunk=256, max_span=3, max_pairs=262144)
-run("chunk=512", tile=16, chunk=512, max_span=3, max_pairs=262144)
+run("chunk=64", tile=16, chunk=64, max_span=3, max_pairs=262144)
+run("chunk=32", tile=16, chunk=32, max_span=3, max_pairs=262144)
+run("chunk=96", tile=16, chunk=96, max_span=3, max_pairs=262144)
+run("chunk=64 mp=196k", tile=16, chunk=64, max_span=3, max_pairs=196608)

@@ -78,8 +78,9 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
     feats, valid = _gather_feats(binning, means2d, conics, colors,
                                  opacities, cfg.chunk)
     out = composite_fwd(
-        feats, binning.tile_offsets, tile=cfg.tile, chunk=cfg.chunk,
-        n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
+        feats, binning.tile_offsets, binning.tile_counts, tile=cfg.tile,
+        chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty,
+        interpret=cfg.interpret,
     )
     # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance
     color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
@@ -90,7 +91,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
     t_final = t_final.transpose(0, 2, 1, 3).reshape(
         nty * cfg.tile, ntx * cfg.tile
     )[: cfg.height, : cfg.width]
-    res = (feats, binning.tile_offsets, binning.grad_offsets, out,
+    res = (feats, binning.tile_offsets, binning.tile_counts, out,
            binning.main_slot, binning.tail_slot, binning.tail_of_gauss,
            binning.pair_slot_capacity, means2d.shape[0])
     return (color, t_final), res
@@ -98,7 +99,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
 
 def _composite_bwd(cfg, res, cot):
     g_color, g_t = cot
-    (feats, offsets, grad_offsets, fwd_out, main_slot, tail_slot,
+    (feats, offsets, counts, fwd_out, main_slot, tail_slot,
      tail_of_gauss, grad_cap, n) = res
     ntx, nty = _pad_tiles(cfg)
     hp, wp = nty * cfg.tile, ntx * cfg.tile
@@ -120,7 +121,7 @@ def _composite_bwd(cfg, res, cot):
     )
 
     pair_grads = composite_bwd(
-        feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
+        feats, offsets, counts, fwd_out, gout, tile=cfg.tile,
         chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty, grad_cap=grad_cap,
         interpret=cfg.interpret,
     )

@@ -101,6 +101,7 @@ def preprocess(
     sh_degree: int = 0,
     scale_modifier: float = 1.0,
     alive: jax.Array | None = None,
+    tile: int = 16,
 ) -> Gaussians2D:
     """Project gaussians into screen space.
 
@@ -159,10 +160,23 @@ def preprocess(
     mask = in_front & det_ok
     if alive is not None:
         mask = mask & alive
-    # Cull tiles fully outside the screen the way CUDA getRect+(area==0) does
-    # (checked later during tile binning; radius 0 encodes invisible).
     radii = jnp.where(mask, radius_f, 0.0).astype(jnp.int32)
     mask = mask & (radii > 0)
+    # CUDA preprocessCUDA returns before writing the radius when the
+    # getRect tile rectangle has zero area (gaussian fully off-screen),
+    # so such gaussians have radii == 0 and visibility_filter False —
+    # which gates the trainer's density-control statistics. Reproduce
+    # that cull here (grid = ceil(size / tile), same clamping as
+    # tile_rect below).
+    ntx = -(-camera.width // tile)
+    nty = -(-camera.height // tile)
+    r = radii.astype(means2d.dtype)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile), 0, ntx)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile), 0, nty)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + tile - 1) / tile), 0, ntx)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + tile - 1) / tile), 0, nty)
+    mask = mask & ((x1 - x0) * (y1 - y0) > 0)
+    radii = jnp.where(mask, radii, 0)
 
     return Gaussians2D(
         means2d=means2d,

@@ -104,19 +104,22 @@ def _tri_incl(chunk: int):
     return (j <= i).astype(jnp.float32)
 
 
-def _segment(offs_ref, t, chunk):
-    start = offs_ref[t]
-    end = offs_ref[t + 1]
-    base = pl.multiple_of((start // chunk) * chunk, chunk)
-    nchunks = (end - base + chunk - 1) // chunk
-    return start, end, base, nchunks
+def _segment(offs_ref, cnts_ref, t, chunk):
+    """Aligned pair layout (tiles.py): segment t spans
+    [offs[t], offs[t] + cnts[t]) with offs[t] an align-multiple, so the
+    DMA base IS the segment start — no masked head chunk."""
+    cnt = cnts_ref[t]
+    base = pl.multiple_of(offs_ref[t], chunk)
+    end = base + cnt
+    nchunks = (cnt + chunk - 1) // chunk
+    return base, end, base, nchunks
 
 
-def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
+def _fwd_kernel(offs_ref, cnts_ref, feats_hbm, out_ref, fscratch, sem,
                 *, tile, chunk, n_tiles_x):
     t = pl.program_id(0)
     npx = tile * tile
-    start, end, base, nchunks = _segment(offs_ref, t, chunk)
+    start, end, base, nchunks = _segment(offs_ref, cnts_ref, t, chunk)
 
     px_x, px_y = _pixel_coords_local(tile)
     ox, oy = _tile_origin(t, tile, n_tiles_x)
@@ -150,7 +153,7 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
         ).wait()
         f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
-        pair_ok = (gidx >= start) & (gidx < end)
+        pair_ok = gidx < end  # head is aligned: gidx >= start always
         alpha, _, _, _ = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
         excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
@@ -196,13 +199,13 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
         [acc_r, acc_g, acc_b, t_final, zeros], axis=0)
 
 
-def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
+def _bwd_kernel(offs_ref, cnts_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
                 fscratch, gscratch, sem, osem,
                 *, tile, chunk, n_tiles_x):
     t = pl.program_id(0)
     npx = tile * tile
-    start, end, base, nchunks = _segment(offs_ref, t, chunk)
-    gbase = goffs_ref[t]
+    start, end, base, nchunks = _segment(offs_ref, cnts_ref, t, chunk)
+    gbase = base  # gradient buffer shares the aligned pair layout
 
     px_x, px_y = _pixel_coords_local(tile)
     ox, oy = _tile_origin(t, tile, n_tiles_x)
@@ -260,7 +263,7 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         off = pl.multiple_of(base + c * chunk, chunk)
         f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
-        pair_ok = (gidx >= start) & (gidx < end)
+        pair_ok = gidx < end  # head is aligned: gidx >= start always
         alpha, gv, mx, my = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
         excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
@@ -361,23 +364,24 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
                               "interpret")
 )
-def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
-                  interpret=False):
+def composite_fwd(feats, offsets, counts, *, tile, chunk, n_tiles_x,
+                  n_tiles_y, interpret=False):
     """Run the forward kernel.
 
-    feats: (NFEAT, PK + chunk) sorted-order pair features.
-    offsets: (T+1,) int32 unaligned tile offsets into sorted order.
+    feats: (NFEAT, PK2 + chunk) pair features in the ALIGNED layout.
+    offsets: (T+1,) int32 aligned segment starts; counts: (T,) int32.
     Returns (T, 8, tile*tile): rows 0-2 accumulated color (no background),
     row 3 final transmittance.
     """
     n_tiles = n_tiles_x * n_tiles_y
     npx = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, npx), lambda t, offs: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, npx), lambda t, offs, cnts: (t, 0, 0),
+            memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
@@ -392,23 +396,22 @@ def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, npx), jnp.float32),
         interpret=interpret,
-    )(offsets, feats)
+    )(offsets, counts, feats)
 
 
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
                               "grad_cap", "interpret")
 )
-def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
+def composite_bwd(feats, offsets, counts, fwd_out, gout, *, tile,
                   chunk, n_tiles_x, n_tiles_y, grad_cap, interpret=False):
     """Run the backward kernel.
 
-    Returns per-pair gradients (NFEAT, grad_cap) in the aligned
-    grad-buffer layout (tiles.TileBinning.grad_offsets; slot tables
-    main_slot/tail_slot index into it). Unwritten slots (region tails,
-    the reserved spare) are undefined — the slot tables point only at
-    written slots plus the spare, which callers must zero before
-    gathering.
+    Returns per-pair gradients (NFEAT, grad_cap) in the SAME aligned
+    layout as feats (grad slot == pair slot; slot tables
+    main_slot/tail_slot index into it). Unwritten slots (the reserved
+    spare) are undefined — the slot tables point only at written slots
+    plus the spare, which callers must zero before gathering.
     """
     n_tiles = n_tiles_x * n_tiles_y
     npx = tile * tile
@@ -417,9 +420,9 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, npx), lambda t, offs, goffs: (t, 0, 0),
+            pl.BlockSpec((1, 8, npx), lambda t, offs, cnts: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, npx), lambda t, offs, goffs: (t, 0, 0),
+            pl.BlockSpec((1, 8, npx), lambda t, offs, cnts: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -439,4 +442,4 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
         out_shape=jax.ShapeDtypeStruct((NFEAT, grad_cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(offsets, grad_offsets, feats, fwd_out, gout)
+    )(offsets, counts, feats, fwd_out, gout)

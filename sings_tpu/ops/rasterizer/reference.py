@@ -56,7 +56,15 @@ def composite_dense(
     dy = means2d[None, :, 1] - pix[:, 1:2]
     a, b, c = conics[:, 0], conics[:, 1], conics[:, 2]
     power = -0.5 * (a[None] * dx * dx + c[None] * dy * dy) - b[None] * dx * dy
-    alpha_raw = jnp.minimum(0.99, opac[None] * jnp.exp(power))
+    alpha_unclamped = opac[None] * jnp.exp(power)
+    # CUDA-quirk gradients: backward.cu computes dL_dopacity = G *
+    # dL_dalpha and dL_dG = op * dL_dalpha even when alpha saturated at
+    # 0.99 — the clamp is a VALUE clamp only, never a gradient gate.
+    # Straight-through: value = clamped, derivative = unclamped.
+    # (Caught by tests/test_cuda_rules.py::test_backward_ignores_099_
+    # clamp_quirk — the Pallas kernel already had the quirk.)
+    alpha_raw = alpha_unclamped + jax.lax.stop_gradient(
+        jnp.minimum(0.99, alpha_unclamped) - alpha_unclamped)
     skip = (power > 0.0) | (alpha_raw < ALPHA_MIN) | (~mask)[None]
     if tile is not None:
         from .common import tile_rect
