@@ -1,4 +1,8 @@
-"""Bisect backward-kernel math variants at bench shapes.
+"""FROZEN against the pre-aligned-relayout kernels (commit 90a53bf and earlier):
+uses grad_offsets and the head-masked DMA layout. Kept for the measurements cited
+in docs/PERF.md; do not run against the current api.
+
+Bisect backward-kernel math variants at bench shapes.
 
 Variants of the per-chunk math (all numerically equivalent):
   v1: original — 3 per-channel inclusive cumsum matmuls, 9 cross-lane

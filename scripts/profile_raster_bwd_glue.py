@@ -1,4 +1,8 @@
-"""Pin down unaccounted backward-path cost at bench config.
+"""FROZEN against the pre-aligned-relayout kernels (commit 90a53bf and earlier):
+uses grad_offsets and the head-masked DMA layout. Kept for the measurements cited
+in docs/PERF.md; do not run against the current api.
+
+Pin down unaccounted backward-path cost at bench config.
 
 Times incrementally larger slices of _composite_bwd's epilogue:
   1. bwd kernel alone (raw output)

@@ -7,11 +7,10 @@ gs_renderer_single.py:87-95). Key mapping decisions:
   * one grid instance per image tile (TILE x TILE pixels on the lane
     axis), gaussian chunks of CHUNK on the sublane axis;
   * the kernels read each tile's segment of the depth/tile-sorted pair
-    array DIRECTLY: the DMA window starts at the 128-aligned floor of
-    the segment and head/tail items are masked by index comparison.
-    This removes the padded re-layout entirely — TPU scatters/gathers
-    cost ~10ns/element, so re-laying out 450k pairs costed more than
-    all the compositing math combined;
+    array in the ALIGNED layout built by tiles.py: every segment starts
+    at a 128-multiple (the relayout is a dest-side GATHER driven by
+    piecewise-constant shift tables, never a scatter), so DMA windows
+    carry no masked head chunk and only the final chunk masks a tail;
   * the order-dependent front-to-back compositing is reformulated per
     chunk in log space: the exclusive cumulative product of (1 - alpha)
     becomes a strictly-lower-triangular matmul on the MXU;
@@ -23,9 +22,9 @@ gs_renderer_single.py:87-95). Key mapping decisions:
     S_i = C_final - C_upto_i; the three per-channel suffix sums only
     appear cotangent-weighted (sum_k g_k S_i,k), so the walk carries a
     single weighted accumulator and ONE inclusive-cumsum matmul per
-    chunk. Per-pair gradients stream to an aligned gradient buffer (its
-    per-tile regions are padded so chunk writes stay 128-aligned) and
-    are reduced outside with a gather (never a float scatter).
+    chunk. Per-pair gradients stream to a gradient buffer sharing the
+    SAME aligned layout (grad slot == pair slot) and are reduced
+    outside with a gather (never a float scatter).
 
 Pair features layout (16, PK + CHUNK) float32 — transposed so chunk DMA
 slices the minor (pair) axis; the extra CHUNK columns are zero padding
