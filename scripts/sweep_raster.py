@@ -41,8 +41,7 @@ def run(tag, **kw):
           f"({hw*hw/tb*1e3/1e6:.1f} Mpix/s)", flush=True)
 
 
-run("chunk=128 (current)", tile=16, chunk=128, max_span=3, max_pairs=262144)
-run("chunk=64", tile=16, chunk=64, max_span=3, max_pairs=262144)
-run("chunk=32", tile=16, chunk=32, max_span=3, max_pairs=262144)
-run("chunk=96", tile=16, chunk=96, max_span=3, max_pairs=262144)
-run("chunk=64 mp=196k", tile=16, chunk=64, max_span=3, max_pairs=196608)
+run("aligned mp=262144", tile=16, chunk=128, max_span=3, max_pairs=262144)
+run("aligned mp=163840", tile=16, chunk=128, max_span=3, max_pairs=163840)
+run("aligned mp=163840 mw=8", tile=16, chunk=128, max_span=3,
+    max_pairs=163840, main_width=8)

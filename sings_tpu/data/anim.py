@@ -54,6 +54,7 @@ def load_anim_dataset(
     rebase: bool | None = None,
     fx: float = 5000.0,
     fy: float = 5000.0,
+    image_zoom_ratio: float = 1.0,
 ) -> AnimDataset:
     """Build the animation dataset (AnimDataset_opt.py:27-66).
 
@@ -78,6 +79,15 @@ def load_anim_dataset(
     trans, rot, scale = manual_alignment(motion_type)
     rotmat = euler_to_matrix(*rot)
     import os
+
+    # image_zoom_ratio < 1 renders a SMALLER image at the SAME fov
+    # (AnimDataset_opt.py:87-91 computes fov from the original size,
+    # then shrinks render_size): shrink size and focal together
+    downscale = 1.0 / image_zoom_ratio
+    if downscale > 1:
+        render_size = (int(render_size[0] / downscale),
+                       int(render_size[1] / downscale))
+        fx, fy = fx / downscale, fy / downscale
 
     return AnimDataset(
         smpl=smpl,

@@ -49,8 +49,9 @@ def _composite_tiled(cfg, means2d, conics, colors, opacities, depths,
 
 
 def _gather_feats(binning, means2d, conics, colors, opacities, chunk):
-    """Sorted-order pair features (NFEAT, PK + chunk), zero-padded tail
-    (see pallas_kernels module docstring)."""
+    """Pair features (NFEAT, PK2) in the aligned layout (see
+    pallas_kernels module docstring). No tail pad: aligned segments end
+    on chunk boundaries, so kernel DMA windows never overrun."""
     n = means2d.shape[0]
     idx = jnp.clip(binning.sorted_gauss, 0)
     valid = binning.sorted_gauss >= 0
@@ -58,8 +59,7 @@ def _gather_feats(binning, means2d, conics, colors, opacities, chunk):
         [means2d, conics, colors, opacities[:, None],
          jnp.zeros((n, NFEAT - 9), means2d.dtype)], axis=1
     )
-    feats = (feat[idx] * valid[:, None]).T
-    return jnp.pad(feats, ((0, 0), (0, chunk))), valid
+    return (feat[idx] * valid[:, None]).T, valid
 
 
 def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,

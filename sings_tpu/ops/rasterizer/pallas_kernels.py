@@ -26,9 +26,9 @@ gs_renderer_single.py:87-95). Key mapping decisions:
     SAME aligned layout (grad slot == pair slot) and are reduced
     outside with a gather (never a float scatter).
 
-Pair features layout (16, PK + CHUNK) float32 — transposed so chunk DMA
-slices the minor (pair) axis; the extra CHUNK columns are zero padding
-for the last window overrun. Rows:
+Pair features layout (16, PK2) float32 — transposed so chunk DMA
+slices the minor (pair) axis; aligned segments end on chunk boundaries
+so windows never overrun. Rows:
   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c |
   5 r | 6 g | 7 b | 8 opacity | 9..15 zero
 Backward writes gradients in the same row layout (row 8 = d_opacity).
@@ -367,7 +367,7 @@ def composite_fwd(feats, offsets, counts, *, tile, chunk, n_tiles_x,
                   n_tiles_y, interpret=False):
     """Run the forward kernel.
 
-    feats: (NFEAT, PK2 + chunk) pair features in the ALIGNED layout.
+    feats: (NFEAT, PK2) pair features in the ALIGNED layout.
     offsets: (T+1,) int32 aligned segment starts; counts: (T,) int32.
     Returns (T, 8, tile*tile): rows 0-2 accumulated color (no background),
     row 3 final transmittance.
