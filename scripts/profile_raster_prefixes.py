@@ -69,8 +69,8 @@ def gathered(*a):
 
 def fwd_kernel(*a):
     f, b = gathered(*a)
-    return composite_fwd(f, b.tile_offsets, b.tile_counts, tile=tile,
-                         chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty)
+    return composite_fwd(f, b.tile_offsets, tile=tile, chunk=chunk,
+                         n_tiles_x=ntx, n_tiles_y=nty)
 
 
 def full_fwd(*a):
@@ -98,7 +98,7 @@ grad_cap = int(b_c.pair_slot_capacity)
 
 prev[0] = 0.0
 print("== bwd stages (isolated, real inputs) ==")
-args2 = (f_c, b_c.tile_offsets, b_c.tile_counts, fwd_c, gout)
+args2 = (f_c, b_c.tile_offsets, b_c.grad_offsets, fwd_c, gout)
 ms_k = device_time(
     lambda f, o, go, fo, g: composite_bwd(
         f, o, go, fo, g, tile=tile, chunk=chunk, n_tiles_x=ntx,

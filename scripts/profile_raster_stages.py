@@ -56,9 +56,9 @@ binning = jax.jit(lambda g: bin_gaussians(
     align=chunk, max_pairs=max_pairs))(g2d)
 feats, valid = jax.jit(lambda b, g: api._gather_feats(
     b, g.means2d, g.conics, g.colors, g.opacities, chunk))(binning, g2d)
-fwd_out = jax.jit(lambda f, o, c: composite_fwd(
-    f, o, c, tile=tile, chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty))(
-        feats, binning.tile_offsets, binning.tile_counts)
+fwd_out = jax.jit(lambda f, o: composite_fwd(
+    f, o, tile=tile, chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty))(
+        feats, binning.tile_offsets)
 gout = jnp.ones((ntx * nty, 8, tile * tile), jnp.float32)
 grad_cap = int(binning.pair_slot_capacity)
 
@@ -83,14 +83,14 @@ t("feats gather", lambda b, g: api._gather_feats(
     b, g.means2d, g.conics, g.colors, g.opacities, chunk)[0],
   binning, g2d)
 
-t("composite fwd kernel", lambda f, o, c: composite_fwd(
-    f, o, c, tile=tile, chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty),
-  feats, binning.tile_offsets, binning.tile_counts)
+t("composite fwd kernel", lambda f, o: composite_fwd(
+    f, o, tile=tile, chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty),
+  feats, binning.tile_offsets)
 
-t("composite bwd kernel", lambda f, o, c, fo, g: composite_bwd(
-    f, o, c, fo, g, tile=tile, chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty,
+t("composite bwd kernel", lambda f, o, go, fo, g: composite_bwd(
+    f, o, go, fo, g, tile=tile, chunk=chunk, n_tiles_x=ntx, n_tiles_y=nty,
     grad_cap=grad_cap),
-  feats, binning.tile_offsets, binning.tile_counts, fwd_out, gout)
+  feats, binning.tile_offsets, binning.grad_offsets, fwd_out, gout)
 
 pair_grads = jnp.asarray(rng.randn(grad_cap, 9).astype(np.float32))
 

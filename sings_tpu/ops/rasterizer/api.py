@@ -49,9 +49,8 @@ def _composite_tiled(cfg, means2d, conics, colors, opacities, depths,
 
 
 def _gather_feats(binning, means2d, conics, colors, opacities, chunk):
-    """Pair features (NFEAT, PK2) in the aligned layout (see
-    pallas_kernels module docstring). No tail pad: aligned segments end
-    on chunk boundaries, so kernel DMA windows never overrun."""
+    """Sorted-order pair features (NFEAT, PK + chunk), zero-padded tail
+    (see pallas_kernels module docstring)."""
     n = means2d.shape[0]
     idx = jnp.clip(binning.sorted_gauss, 0)
     valid = binning.sorted_gauss >= 0
@@ -59,7 +58,8 @@ def _gather_feats(binning, means2d, conics, colors, opacities, chunk):
         [means2d, conics, colors, opacities[:, None],
          jnp.zeros((n, NFEAT - 9), means2d.dtype)], axis=1
     )
-    return (feat[idx] * valid[:, None]).T, valid
+    feats = (feat[idx] * valid[:, None]).T
+    return jnp.pad(feats, ((0, 0), (0, chunk))), valid
 
 
 def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
@@ -78,9 +78,8 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
     feats, valid = _gather_feats(binning, means2d, conics, colors,
                                  opacities, cfg.chunk)
     out = composite_fwd(
-        feats, binning.tile_offsets, binning.tile_counts, tile=cfg.tile,
-        chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty,
-        interpret=cfg.interpret,
+        feats, binning.tile_offsets, tile=cfg.tile, chunk=cfg.chunk,
+        n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
     )
     # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance
     color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
@@ -91,7 +90,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
     t_final = t_final.transpose(0, 2, 1, 3).reshape(
         nty * cfg.tile, ntx * cfg.tile
     )[: cfg.height, : cfg.width]
-    res = (feats, binning.tile_offsets, binning.tile_counts, out,
+    res = (feats, binning.tile_offsets, binning.grad_offsets, out,
            binning.main_slot, binning.tail_slot, binning.tail_of_gauss,
            binning.pair_slot_capacity, means2d.shape[0])
     return (color, t_final), res
@@ -99,7 +98,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
 
 def _composite_bwd(cfg, res, cot):
     g_color, g_t = cot
-    (feats, offsets, counts, fwd_out, main_slot, tail_slot,
+    (feats, offsets, grad_offsets, fwd_out, main_slot, tail_slot,
      tail_of_gauss, grad_cap, n) = res
     ntx, nty = _pad_tiles(cfg)
     hp, wp = nty * cfg.tile, ntx * cfg.tile
@@ -121,7 +120,7 @@ def _composite_bwd(cfg, res, cot):
     )
 
     pair_grads = composite_bwd(
-        feats, offsets, counts, fwd_out, gout, tile=cfg.tile,
+        feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
         chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty, grad_cap=grad_cap,
         interpret=cfg.interpret,
     )

@@ -7,10 +7,11 @@ gs_renderer_single.py:87-95). Key mapping decisions:
   * one grid instance per image tile (TILE x TILE pixels on the lane
     axis), gaussian chunks of CHUNK on the sublane axis;
   * the kernels read each tile's segment of the depth/tile-sorted pair
-    array in the ALIGNED layout built by tiles.py: every segment starts
-    at a 128-multiple (the relayout is a dest-side GATHER driven by
-    piecewise-constant shift tables, never a scatter), so DMA windows
-    carry no masked head chunk and only the final chunk masks a tail;
+    array DIRECTLY: the DMA window starts at the 128-aligned floor of
+    the segment and head/tail items are masked by index comparison.
+    This removes the padded re-layout entirely — TPU scatters/gathers
+    cost ~10ns/element, so re-laying out 450k pairs costed more than
+    all the compositing math combined;
   * the order-dependent front-to-back compositing is reformulated per
     chunk in log space: the exclusive cumulative product of (1 - alpha)
     becomes a strictly-lower-triangular matmul on the MXU;
@@ -22,13 +23,13 @@ gs_renderer_single.py:87-95). Key mapping decisions:
     S_i = C_final - C_upto_i; the three per-channel suffix sums only
     appear cotangent-weighted (sum_k g_k S_i,k), so the walk carries a
     single weighted accumulator and ONE inclusive-cumsum matmul per
-    chunk. Per-pair gradients stream to a gradient buffer sharing the
-    SAME aligned layout (grad slot == pair slot) and are reduced
-    outside with a gather (never a float scatter).
+    chunk. Per-pair gradients stream to an aligned gradient buffer (its
+    per-tile regions are padded so chunk writes stay 128-aligned) and
+    are reduced outside with a gather (never a float scatter).
 
-Pair features layout (16, PK2) float32 — transposed so chunk DMA
-slices the minor (pair) axis; aligned segments end on chunk boundaries
-so windows never overrun. Rows:
+Pair features layout (16, PK + CHUNK) float32 — transposed so chunk DMA
+slices the minor (pair) axis; the extra CHUNK columns are zero padding
+for the last window overrun. Rows:
   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c |
   5 r | 6 g | 7 b | 8 opacity | 9..15 zero
 Backward writes gradients in the same row layout (row 8 = d_opacity).
@@ -103,22 +104,19 @@ def _tri_incl(chunk: int):
     return (j <= i).astype(jnp.float32)
 
 
-def _segment(offs_ref, cnts_ref, t, chunk):
-    """Aligned pair layout (tiles.py): segment t spans
-    [offs[t], offs[t] + cnts[t]) with offs[t] an align-multiple, so the
-    DMA base IS the segment start — no masked head chunk."""
-    cnt = cnts_ref[t]
-    base = pl.multiple_of(offs_ref[t], chunk)
-    end = base + cnt
-    nchunks = (cnt + chunk - 1) // chunk
-    return base, end, base, nchunks
+def _segment(offs_ref, t, chunk):
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
+    nchunks = (end - base + chunk - 1) // chunk
+    return start, end, base, nchunks
 
 
-def _fwd_kernel(offs_ref, cnts_ref, feats_hbm, out_ref, fscratch, sem,
+def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
                 *, tile, chunk, n_tiles_x):
     t = pl.program_id(0)
     npx = tile * tile
-    start, end, base, nchunks = _segment(offs_ref, cnts_ref, t, chunk)
+    start, end, base, nchunks = _segment(offs_ref, t, chunk)
 
     px_x, px_y = _pixel_coords_local(tile)
     ox, oy = _tile_origin(t, tile, n_tiles_x)
@@ -152,7 +150,7 @@ def _fwd_kernel(offs_ref, cnts_ref, feats_hbm, out_ref, fscratch, sem,
         ).wait()
         f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
-        pair_ok = gidx < end  # head is aligned: gidx >= start always
+        pair_ok = (gidx >= start) & (gidx < end)
         alpha, _, _, _ = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
         excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
@@ -198,13 +196,13 @@ def _fwd_kernel(offs_ref, cnts_ref, feats_hbm, out_ref, fscratch, sem,
         [acc_r, acc_g, acc_b, t_final, zeros], axis=0)
 
 
-def _bwd_kernel(offs_ref, cnts_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
+def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
                 fscratch, gscratch, sem, osem,
                 *, tile, chunk, n_tiles_x):
     t = pl.program_id(0)
     npx = tile * tile
-    start, end, base, nchunks = _segment(offs_ref, cnts_ref, t, chunk)
-    gbase = base  # gradient buffer shares the aligned pair layout
+    start, end, base, nchunks = _segment(offs_ref, t, chunk)
+    gbase = goffs_ref[t]
 
     px_x, px_y = _pixel_coords_local(tile)
     ox, oy = _tile_origin(t, tile, n_tiles_x)
@@ -262,7 +260,7 @@ def _bwd_kernel(offs_ref, cnts_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         off = pl.multiple_of(base + c * chunk, chunk)
         f = jnp.transpose(fscratch[slot], (1, 0))  # (chunk, NFEAT)
         gidx = off + sub_iota
-        pair_ok = gidx < end  # head is aligned: gidx >= start always
+        pair_ok = (gidx >= start) & (gidx < end)
         alpha, gv, mx, my = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
         excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
@@ -363,24 +361,23 @@ def _bwd_kernel(offs_ref, cnts_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
                               "interpret")
 )
-def composite_fwd(feats, offsets, counts, *, tile, chunk, n_tiles_x,
-                  n_tiles_y, interpret=False):
+def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
+                  interpret=False):
     """Run the forward kernel.
 
-    feats: (NFEAT, PK2) pair features in the ALIGNED layout.
-    offsets: (T+1,) int32 aligned segment starts; counts: (T,) int32.
+    feats: (NFEAT, PK + chunk) sorted-order pair features.
+    offsets: (T+1,) int32 unaligned tile offsets into sorted order.
     Returns (T, 8, tile*tile): rows 0-2 accumulated color (no background),
     row 3 final transmittance.
     """
     n_tiles = n_tiles_x * n_tiles_y
     npx = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, npx), lambda t, offs, cnts: (t, 0, 0),
-            memory_space=pltpu.VMEM
+            (1, 8, npx), lambda t, offs: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
@@ -395,22 +392,23 @@ def composite_fwd(feats, offsets, counts, *, tile, chunk, n_tiles_x,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, npx), jnp.float32),
         interpret=interpret,
-    )(offsets, counts, feats)
+    )(offsets, feats)
 
 
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
                               "grad_cap", "interpret")
 )
-def composite_bwd(feats, offsets, counts, fwd_out, gout, *, tile,
+def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
                   chunk, n_tiles_x, n_tiles_y, grad_cap, interpret=False):
     """Run the backward kernel.
 
-    Returns per-pair gradients (NFEAT, grad_cap) in the SAME aligned
-    layout as feats (grad slot == pair slot; slot tables
-    main_slot/tail_slot index into it). Unwritten slots (the reserved
-    spare) are undefined — the slot tables point only at written slots
-    plus the spare, which callers must zero before gathering.
+    Returns per-pair gradients (NFEAT, grad_cap) in the aligned
+    grad-buffer layout (tiles.TileBinning.grad_offsets; slot tables
+    main_slot/tail_slot index into it). Unwritten slots (region tails,
+    the reserved spare) are undefined — the slot tables point only at
+    written slots plus the spare, which callers must zero before
+    gathering.
     """
     n_tiles = n_tiles_x * n_tiles_y
     npx = tile * tile
@@ -419,9 +417,9 @@ def composite_bwd(feats, offsets, counts, fwd_out, gout, *, tile,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, npx), lambda t, offs, cnts: (t, 0, 0),
+            pl.BlockSpec((1, 8, npx), lambda t, offs, goffs: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, npx), lambda t, offs, cnts: (t, 0, 0),
+            pl.BlockSpec((1, 8, npx), lambda t, offs, goffs: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -441,4 +439,4 @@ def composite_bwd(feats, offsets, counts, fwd_out, gout, *, tile,
         out_shape=jax.ShapeDtypeStruct((NFEAT, grad_cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(offsets, counts, feats, fwd_out, gout)
+    )(offsets, grad_offsets, feats, fwd_out, gout)

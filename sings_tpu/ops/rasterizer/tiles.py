@@ -48,20 +48,15 @@ INVALID = jnp.int32(2**31 - 1)
 
 
 class TileBinning(NamedTuple):
-    """Static-shape binning result in the ALIGNED pair layout
-    (PK2 = max_pairs + align * n_tiles slots; every tile's segment
-    starts at an align-multiple so kernel DMA windows never carry a
-    masked head chunk, and the gradient buffer shares the layout:
-    grad slot == pair slot).
+    """Static-shape binning result (PK = max_pairs capacity).
 
-    sorted_gauss: (PK2,) int32 gaussian index per pair slot, -1 in the
-        per-tile alignment padding / invalid slots.
-    tile_offsets: (T + 1,) int32 ALIGNED segment starts.
-    tile_counts: (T,) int32 real pair count per tile (segment t spans
-        [tile_offsets[t], tile_offsets[t] + tile_counts[t])).
-    main_slot: (N, main_width) int32 pair/grad slots of each gaussian's
-        first min(span, main_width) pairs (PK2, the reserved spare
-        slot, for invalid/dropped pairs).
+    sorted_gauss: (PK,) int32 gaussian index per sorted pair, -1 invalid.
+    tile_offsets: (T + 1,) int32 UNALIGNED offsets into sorted order.
+    grad_offsets: (T + 1,) int32 aligned offsets into the (PG,) gradient
+        buffer the backward kernel writes (PG = grad_capacity).
+    main_slot: (N, main_width) int32 grad-buffer slots of each
+        gaussian's first min(span, main_width) pairs (PG - 1, the
+        reserved spare slot, for invalid/dropped pairs).
     tail_slot: (TC, cap - main_width) int32 slots of pairs
         j >= main_width, compacted over gaussians with span >
         main_width; (TC, 0) when cap <= main_width.
@@ -75,7 +70,7 @@ class TileBinning(NamedTuple):
 
     sorted_gauss: jax.Array
     tile_offsets: jax.Array
-    tile_counts: jax.Array
+    grad_offsets: jax.Array
     main_slot: jax.Array
     tail_slot: jax.Array
     tail_of_gauss: jax.Array
@@ -90,9 +85,10 @@ class TileBinning(NamedTuple):
 
 
 def grad_capacity(max_pairs: int, n_tiles: int, align: int) -> int:
-    """Pair/grad buffer slots in the aligned layout: per-tile alignment
-    padding (< align each) plus one reserved spare slot."""
-    return max_pairs + align * n_tiles + 1
+    """Gradient-buffer slots: per-tile head + tail alignment padding
+    (each region covers [aligned segment floor, end) rounded up) plus
+    one reserved spare slot."""
+    return max_pairs + 2 * align * n_tiles + 1
 
 
 def bin_gaussians(
@@ -214,49 +210,32 @@ def bin_gaussians(
         sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # ---- aligned pair relayout. Chunk DMA windows must start at
-    # align-multiples (Mosaic 128-lane tiling), so a tile whose segment
-    # starts mid-chunk costs the kernels a masked HEAD chunk — ~0.5
-    # extra chunks per tile, ~25% of the whole composite walk at bench
-    # shapes. Instead, re-lay the pairs so every tile's segment STARTS
-    # aligned: dest slot j of segment t maps to sorted index
-    # src = j - shift[t] (shift = aligned start - unaligned start,
-    # piecewise constant — built with a 1k scatter + cumsum, never a
-    # big scatter; the relayout itself is a GATHER on the dest side).
-    # The gradient buffer shares this exact layout (one offsets array,
-    # slot == dest index), which also kills the separate grad-offset
-    # mapping the old kernels carried.
+    # the backward kernel writes chunk-aligned windows starting at the
+    # aligned floor of each segment, so each tile's grad region covers
+    # [base_t, end_t) rounded up: head + count rounded to align
     counts = offsets[1:] - offsets[:-1]
-    padded_counts = ((counts + align - 1) // align) * align
-    aoffs = jnp.concatenate(
+    base = (offsets[:-1] // align) * align
+    head = offsets[:-1] - base
+    padded_counts = ((head + counts + align - 1) // align) * align
+    grad_offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(padded_counts).astype(jnp.int32)])
-    pk2 = pk + align * n_tiles  # static: each tile pads < align
-    pg = pk2 + 1                # + reserved spare slot
-    spare = pk2
+    pg = grad_capacity(max_pairs, n_tiles, align)
+    spare = pg - 1
 
-    shift = aoffs[:-1] - offsets[:-1]  # (T,) non-decreasing
-    ddeltas = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), shift]))
-    shift_of_j = jnp.cumsum(
-        jnp.zeros((pk2,), jnp.int32).at[aoffs[:-1]].add(
-            ddeltas, mode="drop"))
-    src = jnp.arange(pk2, dtype=jnp.int32) - shift_of_j
-    # segment end (unaligned offsets[t+1]) per dest slot, same trick
-    edeltas = jnp.diff(jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), offsets[1:]]))
-    end_of_j = jnp.cumsum(
-        jnp.zeros((pk2,), jnp.int32).at[aoffs[:-1]].add(
-            edeltas, mode="drop"))
-    dest_ok = src < end_of_j
-    padded_gauss = jnp.where(
-        dest_ok, sorted_gauss[jnp.clip(src, 0, pk - 1)], -1)
-
-    # glue slot per sorted pair i = its dest index i + shift[tile_i]
+    # grad slot per sorted pair i: i + shift[tile_i], with
+    # shift[t] = grad_offsets[t] - base_t (the kernel writes element i
+    # of the window at grad_offsets[t] + (i - base_t)). shift is
+    # piecewise constant over the tile-contiguous sorted order — build
+    # it with a 1k-element scatter of deltas at segment starts + one
+    # cumsum (avoiding a 450k-element table gather).
+    shift = grad_offsets[:-1] - base                     # (T,)
+    deltas = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), shift]))
     seg_delta = jnp.zeros((pk,), jnp.int32).at[offsets[:-1]].add(
-        ddeltas, mode="drop")  # out-of-range (truncated tiles) dropped
+        deltas, mode="drop")  # out-of-range (truncated tiles) dropped
     shift_of_i = jnp.cumsum(seg_delta)
     slot = jnp.arange(pk, dtype=jnp.int32) + shift_of_i
-    slot = jnp.where(is_valid & (slot < spare), slot, spare)
+    slot = jnp.where(is_valid & (slot < pg - 1), slot, spare)
 
     # invert to original pair order with one more sort
     slot_full = jnp.concatenate(
@@ -294,9 +273,9 @@ def bin_gaussians(
         tail_slot = jnp.zeros((0, 0), jnp.int32)
 
     return TileBinning(
-        sorted_gauss=padded_gauss,
-        tile_offsets=aoffs,
-        tile_counts=counts,
+        sorted_gauss=sorted_gauss,
+        tile_offsets=offsets,
+        grad_offsets=grad_offsets,
         main_slot=main_slot,
         tail_slot=tail_slot,
         tail_of_gauss=tail_of_gauss,

@@ -49,7 +49,6 @@ def test_binning_matches_bruteforce():
         return np.where(power > 0, 0.0, alpha).max()
 
     offs = np.asarray(b.tile_offsets)
-    cnts = np.asarray(b.tile_counts)
     sg = np.asarray(b.sorted_gauss)
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
@@ -61,9 +60,7 @@ def test_binning_matches_bruteforce():
         # kept (culling is conservative); sub-1/255 rect pairs MAY be
         # culled (they are exact zeros in the kernel either way)
         must = [i for i in rect if peak_alpha(i, tx, ty) >= 1.0 / 255.0]
-        got = [int(v) for v in sg[offs[t]:offs[t] + cnts[t]]]
-        # alignment padding after the segment must be -1
-        assert (sg[offs[t] + cnts[t]:offs[t + 1]] == -1).all()
+        got = [int(v) for v in sg[offs[t]:offs[t + 1]]]
         assert set(must) <= set(got) <= set(rect), (t, got, must, rect)
         want_order = sorted(got, key=lambda i: depths[i])
         assert got == want_order, (t, got, want_order)
@@ -92,9 +89,7 @@ def test_binning_max_pairs_truncates():
     capped = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
                            align=8, max_pairs=npairs // 2)
     assert int(capped.overflow) >= npairs - npairs // 2
-    # aligned layout: capacity = max_pairs + align * n_tiles
-    assert capped.sorted_gauss.shape[0] == npairs // 2 + 8 * 16
-    assert int(np.asarray(capped.tile_counts).sum()) <= npairs // 2
+    assert capped.sorted_gauss.shape[0] == npairs // 2
 
 
 def test_glue_slot_tables_grad_layout():
@@ -107,7 +102,7 @@ def test_glue_slot_tables_grad_layout():
     b = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
                       align=align, main_width=4, tail_capacity=n)
     offs = np.asarray(b.tile_offsets)
-    cnts = np.asarray(b.tile_counts)
+    goffs = np.asarray(b.grad_offsets)
     sg = np.asarray(b.sorted_gauss)
     main = np.asarray(b.main_slot)
     tail = np.asarray(b.tail_slot)
@@ -125,9 +120,9 @@ def test_glue_slot_tables_grad_layout():
     seen = set()
     total = 0
     for t in range(16):
-        # aligned layout: grad slot == pair slot
-        for i in range(offs[t], offs[t] + cnts[t]):
-            slot = i
+        base = (offs[t] // align) * align
+        for i in range(offs[t], offs[t + 1]):
+            slot = goffs[t] + (i - base)
             gid = int(sg[i])
             assert gid >= 0
             assert slots_of[gid].count(slot) == 1, (t, gid, slot)
