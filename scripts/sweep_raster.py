@@ -41,7 +41,10 @@ def run(tag, **kw):
           f"({hw*hw/tb*1e3/1e6:.1f} Mpix/s)", flush=True)
 
 
-run("aligned mp=262144", tile=16, chunk=128, max_span=3, max_pairs=262144)
-run("aligned mp=163840", tile=16, chunk=128, max_span=3, max_pairs=163840)
-run("aligned mp=163840 mw=8", tile=16, chunk=128, max_span=3,
-    max_pairs=163840, main_width=8)
+run("base mp=262144 mw=6", tile=16, chunk=128, max_span=3,
+    max_pairs=262144)
+run("mp=163840 mw=6", tile=16, chunk=128, max_span=3, max_pairs=163840)
+run("mp=163840 mw=4", tile=16, chunk=128, max_span=3, max_pairs=163840,
+    main_width=4)
+run("mp=163840 mw=5", tile=16, chunk=128, max_span=3, max_pairs=163840,
+    main_width=5)

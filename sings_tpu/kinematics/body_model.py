@@ -53,6 +53,10 @@ class BodyTemplate(NamedTuple):
     vertex_label: np.ndarray  # (V,) int region labels, -1 unknown
     vertex_id: np.ndarray     # (V,) int original-vertex provenance
     name: str                 # 'smpl' | 'smplh' | 'synthetic'
+    # MANO hand-PCA data (SMPLH pkls only; smplh_layer.py:182-242):
+    # stacked [left, right]. None for SMPL / synthetic-without-hands.
+    hands_components: np.ndarray | None = None  # (2, n_comp, 45)
+    hands_mean: np.ndarray | None = None        # (2, 45)
 
     @property
     def num_verts(self):
@@ -99,11 +103,20 @@ def load_smpl_pickle(path: str, num_betas: int = 10,
     if vertex_label is None:
         vertex_label = -np.ones(v, dtype=np.int64)
     name = "smplh" if weights.shape[1] > 24 else "smpl"
+    hands_components = hands_mean = None
+    if "hands_componentsl" in data:
+        hands_components = np.stack([
+            _to_np(data["hands_componentsl"]),
+            _to_np(data["hands_componentsr"])]).astype(np.float32)
+        hands_mean = np.stack([
+            _to_np(data["hands_meanl"]),
+            _to_np(data["hands_meanr"])]).astype(np.float32)
     return BodyTemplate(
         v_template=v_template, faces=faces, edges=unique_edges(faces),
         shapedirs=shapedirs, posedirs=posedirs, j_regressor=j_regressor,
         parents=kintree, lbs_weights=weights, vertex_label=vertex_label,
         vertex_id=np.arange(v, dtype=np.int64), name=name,
+        hands_components=hands_components, hands_mean=hands_mean,
     )
 
 

@@ -31,10 +31,15 @@ class DeviceTemplate(NamedTuple):
     lbs_weights: jax.Array
     faces: jax.Array
     num_body_joints: int      # 23 for smpl, 21 for smplh body part
+    # MANO hand PCA (smplh pkls; smplh_layer.py:182-242,307-317)
+    hands_components: jax.Array | None = None  # (2, n_comp, 45)
+    hands_mean: jax.Array | None = None        # (2, 45)
 
     @classmethod
     def from_host(cls, tpl: BodyTemplate) -> "DeviceTemplate":
         nbj = 23 if tpl.num_joints == 24 else 21
+        hc = getattr(tpl, "hands_components", None)
+        hm = getattr(tpl, "hands_mean", None)
         return cls(
             v_template=jnp.asarray(tpl.v_template),
             shapedirs=jnp.asarray(tpl.shapedirs),
@@ -44,19 +49,47 @@ class DeviceTemplate(NamedTuple):
             lbs_weights=jnp.asarray(tpl.lbs_weights),
             faces=jnp.asarray(tpl.faces),
             num_body_joints=nbj,
+            hands_components=None if hc is None else jnp.asarray(hc),
+            hands_mean=None if hm is None else jnp.asarray(hm),
         )
 
 
 def full_pose(tpl: DeviceTemplate, global_orient: jax.Array,
-              body_pose: jax.Array) -> jax.Array:
-    """Assemble the (B, J*3) full pose: root + body (+ zero hands)."""
+              body_pose: jax.Array,
+              left_hand_pose: jax.Array | None = None,
+              right_hand_pose: jax.Array | None = None,
+              num_pca_comps: int = 6) -> jax.Array:
+    """Assemble the (B, J*3) full pose: root + body (+ hands).
+
+    For SMPLH templates with MANO data, hand poses are PCA
+    coefficients projected through the first num_pca_comps components
+    and offset by the (non-flat) hand means — reference
+    smplh_layer.py:307-317 plus the `full_pose += pose_mean` at :319
+    with the default flat_hand_mean=False: zero coefficients still
+    yield the MANO mean pose, not flat hands. Templates without MANO
+    data (SMPL / synthetic) keep zero wrist-onward joints.
+    """
     b = body_pose.shape[0]
     nj = tpl.parents.shape[0]
     body = body_pose[:, : tpl.num_body_joints * 3]
     rest = nj - 1 - tpl.num_body_joints
     parts = [global_orient.reshape(b, 3), body]
     if rest > 0:
-        parts.append(jnp.zeros((b, rest * 3), body_pose.dtype))
+        if tpl.hands_components is not None and rest == 30:
+            comps = tpl.hands_components[:, :num_pca_comps]  # (2, C, 45)
+            hands = []
+            for side, coeff in enumerate((left_hand_pose,
+                                          right_hand_pose)):
+                base = jnp.broadcast_to(tpl.hands_mean[side][None],
+                                        (b, 45)).astype(body_pose.dtype)
+                if coeff is not None:
+                    base = base + jnp.einsum(
+                        "bi,ij->bj", coeff.reshape(b, -1),
+                        comps[side][: coeff.shape[-1]])
+                hands.append(base)
+            parts.extend(hands)
+        else:
+            parts.append(jnp.zeros((b, rest * 3), body_pose.dtype))
     return jnp.concatenate(parts, axis=1)
 
 
@@ -67,6 +100,8 @@ def smpl_forward(
     global_orient: jax.Array | None = None,
     *,
     disable_posedirs: bool = False,
+    left_hand_pose: jax.Array | None = None,
+    right_hand_pose: jax.Array | None = None,
 ) -> LBSOutput:
     """Pose the template. Shapes: betas (B, nb) or (nb,), body_pose
     (B, 69/63...) or 1-D, global_orient (B, 3) or (3,) or None."""
@@ -84,7 +119,9 @@ def smpl_forward(
     elif global_orient.ndim == 1:
         global_orient = jnp.broadcast_to(global_orient[None], (b, 3))
 
-    pose = full_pose(tpl, global_orient, body_pose)
+    pose = full_pose(tpl, global_orient, body_pose,
+                     left_hand_pose=left_hand_pose,
+                     right_hand_pose=right_hand_pose)
     # parents stay a numpy array: the kinematic chain is unrolled at
     # trace time (static topology)
     return lbs(

@@ -135,3 +135,45 @@ def test_custom_motion_loading():
         "/root/reference/data/animation/custom/output_motions_kunkun.npz",
         motion_type="custom", start=0, end=40, skip=2)
     assert m["body_pose"].shape[1] == 69
+
+
+def test_smplh_hand_pca_projection():
+    """full_pose with MANO data: hands = coeffs @ components[:C] +
+    hands_mean (smplh_layer.py:307-317 with flat_hand_mean=False
+    default: zero coefficients still give the MANO mean pose)."""
+    import numpy as np
+
+    from sings_tpu.kinematics.body_model import synthetic_template
+    from sings_tpu.kinematics.template import DeviceTemplate, full_pose
+
+    tpl = synthetic_template(10, hands=True)
+    rng = np.random.RandomState(0)
+    hc = rng.randn(2, 12, 45).astype(np.float32)
+    hm = rng.randn(2, 45).astype(np.float32) * 0.1
+    tpl = tpl._replace(hands_components=hc, hands_mean=hm)
+    dt = DeviceTemplate.from_host(tpl)
+    assert dt.hands_components is not None
+
+    b = 2
+    go = jnp.asarray(rng.randn(b, 3).astype(np.float32))
+    body = jnp.asarray(rng.randn(b, 63).astype(np.float32))
+    lh = jnp.asarray(rng.randn(b, 6).astype(np.float32))
+    rh = jnp.asarray(rng.randn(b, 6).astype(np.float32))
+
+    fp = np.asarray(full_pose(dt, go, body, lh, rh))
+    nj = dt.parents.shape[0]
+    assert fp.shape == (b, nj * 3)
+    want_l = np.asarray(lh) @ hc[0, :6] + hm[0]
+    want_r = np.asarray(rh) @ hc[1, :6] + hm[1]
+    np.testing.assert_allclose(fp[:, 66:111], want_l, rtol=1e-5)
+    np.testing.assert_allclose(fp[:, 111:156], want_r, rtol=1e-5)
+
+    # zero coefficients -> mean pose (flat_hand_mean=False), and
+    # omitted coefficients behave the same
+    fp0 = np.asarray(full_pose(dt, go, body))
+    np.testing.assert_allclose(fp0[:, 66:111],
+                               np.broadcast_to(hm[0], (b, 45)), rtol=1e-6)
+    # templates without MANO data keep zero hands
+    dt2 = dt._replace(hands_components=None, hands_mean=None)
+    fpz = np.asarray(full_pose(dt2, go, body))
+    assert (fpz[:, 66:] == 0).all()
