@@ -139,6 +139,7 @@ def test_fit_initial_attrs_reduces_loss(setup):
     assert abs(live_op.mean() - 0.8) < 0.25
 
 
+@pytest.mark.slow
 def test_pose_gradients_through_render(setup):
     """BASELINE config 2: LBS-posed render with pose gradients end-to-end."""
     tpl, dt, cache, cfg, state = setup

@@ -22,6 +22,10 @@ BASE = [
     "tpu.auto_fit_synthetic=False",
 ]
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute mesh/e2e suite (--runslow)
+
 
 def test_case_pool_two_cases(tmp_path):
     """(case=2, gs=4) pool on the bundled kit: per-frame params padded

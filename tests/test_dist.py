@@ -8,6 +8,10 @@ from sings_tpu.dist.shard import camera_strip, make_mesh
 from sings_tpu.ops.graphics import make_camera
 from sings_tpu.ops.rasterizer.api import rasterize
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute mesh/e2e suite (--runslow)
+
 
 def make_scene(n=40, hw=64):
     rng = np.random.RandomState(0)

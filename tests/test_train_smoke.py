@@ -14,6 +14,10 @@ from sings_tpu.config.defaults import DEFAULTS
 
 KIT = "/root/reference/examples/training_kits/f_2"
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute mesh/e2e suite (--runslow)
+
 
 def make_cfg(tmp_path, steps=6):
     overrides = [
