@@ -17,6 +17,7 @@ from ..graphics import Camera
 from .common import Gaussians2D, preprocess
 from .pallas_kernels import NFEAT, composite_bwd, composite_fwd
 from .reference import composite_dense
+from .relayout import retile_image, untile_image
 from .tiles import bin_gaussians
 
 
@@ -31,6 +32,11 @@ class RasterConfig(NamedTuple):
     max_pairs: int | None = None
     main_width: int = 6
     tail_capacity: int | None = None
+    cull: bool = True
+    # tile-major <-> image relayout backend: "xla" transposes (default;
+    # the "pallas" kernels in relayout.py fail Mosaic lowering — the
+    # (1,256)->(16,16) lane-split reshape is an unsupported shape cast)
+    relayout: str = "xla"
     interpret: bool = False
 
 
@@ -74,6 +80,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
         g2d, tile=cfg.tile, n_tiles_x=ntx, n_tiles_y=nty,
         max_span=cfg.max_span, align=cfg.chunk, max_pairs=cfg.max_pairs,
         main_width=cfg.main_width, tail_capacity=cfg.tail_capacity,
+        cull=cfg.cull,
     )
     feats, valid = _gather_feats(binning, means2d, conics, colors,
                                  opacities, cfg.chunk)
@@ -82,14 +89,20 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
         n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
     )
     # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance
-    color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
-    color = color.transpose(2, 0, 3, 1, 4).reshape(
-        3, nty * cfg.tile, ntx * cfg.tile
-    )[:, : cfg.height, : cfg.width]
-    t_final = out[:, 3, :].reshape(nty, ntx, cfg.tile, cfg.tile)
-    t_final = t_final.transpose(0, 2, 1, 3).reshape(
-        nty * cfg.tile, ntx * cfg.tile
-    )[: cfg.height, : cfg.width]
+    if cfg.relayout == "pallas":
+        u = untile_image(out, tile=cfg.tile, ntx=ntx, nty=nty,
+                         interpret=cfg.interpret)
+        color = u[:3, : cfg.height, : cfg.width]
+        t_final = u[3, : cfg.height, : cfg.width]
+    else:
+        color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
+        color = color.transpose(2, 0, 3, 1, 4).reshape(
+            3, nty * cfg.tile, ntx * cfg.tile
+        )[:, : cfg.height, : cfg.width]
+        t_final = out[:, 3, :].reshape(nty, ntx, cfg.tile, cfg.tile)
+        t_final = t_final.transpose(0, 2, 1, 3).reshape(
+            nty * cfg.tile, ntx * cfg.tile
+        )[: cfg.height, : cfg.width]
     res = (feats, binning.tile_offsets, binning.grad_offsets, out,
            binning.main_slot, binning.tail_slot, binning.tail_of_gauss,
            binning.pair_slot_capacity, means2d.shape[0])
@@ -109,28 +122,34 @@ def _composite_bwd(cfg, res, cot):
     gt = jnp.zeros((hp, wp), g_t.dtype)
     gt = gt.at[: cfg.height, : cfg.width].set(g_t)
 
-    gc_tiles = gc.reshape(3, nty, cfg.tile, ntx, cfg.tile).transpose(
-        1, 3, 0, 2, 4
-    ).reshape(nty * ntx, 3, npx)
-    gt_tiles = gt.reshape(nty, cfg.tile, ntx, cfg.tile).transpose(
-        0, 2, 1, 3
-    ).reshape(nty * ntx, 1, npx)
-    gout = jnp.concatenate(
-        [gc_tiles, gt_tiles, jnp.zeros((nty * ntx, 4, npx), gc.dtype)], axis=1
-    )
+    if cfg.relayout == "pallas":
+        gout = retile_image(
+            jnp.concatenate([gc, gt[None]], axis=0), tile=cfg.tile,
+            ntx=ntx, nty=nty, interpret=cfg.interpret)
+    else:
+        gc_tiles = gc.reshape(3, nty, cfg.tile, ntx, cfg.tile).transpose(
+            1, 3, 0, 2, 4
+        ).reshape(nty * ntx, 3, npx)
+        gt_tiles = gt.reshape(nty, cfg.tile, ntx, cfg.tile).transpose(
+            0, 2, 1, 3
+        ).reshape(nty * ntx, 1, npx)
+        gout = jnp.concatenate(
+            [gc_tiles, gt_tiles,
+             jnp.zeros((nty * ntx, 4, npx), gc.dtype)], axis=1
+        )
 
     pair_grads = composite_bwd(
         feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
         chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty, grad_cap=grad_cap,
         interpret=cfg.interpret,
     )
-    # zero the reserved spare slot (invalid pairs gather from it; the
-    # kernel never writes it), keep only the 9 used gradient rows, and
-    # un-sort with narrow row gathers (no float scatter; the glue is
-    # gather-row-count-bound, hence the prefix + compacted-tail tables
-    # instead of a dense (N, max_span^2) one — see tiles.py)
+    # keep only the 9 used gradient rows and un-sort with narrow row
+    # gathers (no float scatter; the glue is gather-row-count-bound,
+    # hence the prefix + compacted-tail tables instead of a dense
+    # (N, max_span^2) one — see tiles.py). The reserved spare slot the
+    # invalid pairs gather from is zero-filled by the kernel itself.
     n_used = 9
-    pair_grads = pair_grads.at[:, -1].set(0.0)[:n_used].T  # (grad_cap, 9)
+    pair_grads = pair_grads[:n_used].T  # (grad_cap, 9)
     mw = main_slot.shape[1]
     pg = pair_grads[main_slot.reshape(-1)].reshape(n, mw, n_used).sum(axis=1)
     tc, tw = tail_slot.shape
@@ -174,6 +193,8 @@ def rasterize(
     max_pairs: int | None = None,
     main_width: int = 6,
     tail_capacity: int | None = None,
+    cull: bool = True,
+    relayout: str = "xla",
     interpret: bool = False,
 ) -> dict:
     """Differentiable gaussian splatting to an image.
@@ -204,7 +225,8 @@ def rasterize(
         cfg = RasterConfig(
             height=camera.height, width=camera.width, tile=tile, chunk=chunk,
             max_span=max_span, max_pairs=max_pairs, main_width=main_width,
-            tail_capacity=tail_capacity, interpret=interpret,
+            tail_capacity=tail_capacity, cull=cull, relayout=relayout,
+            interpret=interpret,
         )
         color, t_final = _composite_tiled(
             cfg, means2d, g2d.conics, g2d.colors, g2d.opacities, g2d.depths,

@@ -198,7 +198,7 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
 
 def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
                 fscratch, gscratch, sem, osem,
-                *, tile, chunk, n_tiles_x):
+                *, tile, chunk, n_tiles_x, grad_cap):
     t = pl.program_id(0)
     npx = tile * tile
     start, end, base, nchunks = _segment(offs_ref, t, chunk)
@@ -356,6 +356,19 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
 
     jax.lax.fori_loop(c_done, nchunks, zero_body, 0)
 
+    # last grid step zero-fills the reserved spare chunk (its final slot
+    # is the spare slot the glue gathers for invalid pairs) — replaces
+    # an XLA whole-buffer copy outside the kernel (api._composite_bwd)
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        dma = pltpu.make_async_copy(
+            gscratch.at[0],
+            grads_hbm.at[:, pl.ds(grad_cap - chunk, chunk)],
+            osem.at[0],
+        )
+        dma.start()
+        dma.wait()
+
 
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
@@ -405,10 +418,10 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
 
     Returns per-pair gradients (NFEAT, grad_cap) in the aligned
     grad-buffer layout (tiles.TileBinning.grad_offsets; slot tables
-    main_slot/tail_slot index into it). Unwritten slots (region tails,
-    the reserved spare) are undefined — the slot tables point only at
-    written slots plus the spare, which callers must zero before
-    gathering.
+    main_slot/tail_slot index into it). Unwritten slots between regions
+    are undefined, but the slot tables point only at written slots plus
+    the spare slot grad_cap - 1, which the kernel zero-fills itself
+    (the whole reserved chunk [grad_cap - chunk, grad_cap)).
     """
     n_tiles = n_tiles_x * n_tiles_y
     npx = tile * tile
@@ -431,7 +444,8 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, tile=tile, chunk=chunk, n_tiles_x=n_tiles_x
+        _bwd_kernel, tile=tile, chunk=chunk, n_tiles_x=n_tiles_x,
+        grad_cap=grad_cap,
     )
     return pl.pallas_call(
         kernel,

@@ -86,9 +86,13 @@ class TileBinning(NamedTuple):
 
 def grad_capacity(max_pairs: int, n_tiles: int, align: int) -> int:
     """Gradient-buffer slots: per-tile head + tail alignment padding
-    (each region covers [aligned segment floor, end) rounded up) plus
-    one reserved spare slot."""
-    return max_pairs + 2 * align * n_tiles + 1
+    (each region covers [aligned segment floor, end) rounded up) plus a
+    reserved SPARE CHUNK [pg - align, pg) that the backward kernel
+    zero-fills itself (its last slot, pg - 1, is the spare slot invalid
+    pairs gather from — kernel-side zeroing replaced an XLA
+    ``.at[:, -1].set(0.0)`` whole-buffer copy in the glue)."""
+    used = -(-max_pairs // align) * align + 2 * align * n_tiles
+    return used + align
 
 
 def bin_gaussians(
@@ -102,6 +106,7 @@ def bin_gaussians(
     max_pairs: int | None = None,
     main_width: int = 6,
     tail_capacity: int | None = None,
+    cull: bool = True,
 ) -> TileBinning:
     """Build depth-ordered, tile-grouped pair lists (see module doc).
 
@@ -181,12 +186,14 @@ def bin_gaussians(
         xx = jnp.clip(-b_ * y / a_s, bx0, bx1)
         return (0.5 * c_ * y + b_ * xx) * y + 0.5 * a_ * xx * xx
 
-    inside = (bx0 <= 0) & (bx1 >= 0) & (by0 <= 0) & (by1 >= 0)
-    q_min = jnp.minimum(jnp.minimum(_qx(bx0), _qx(bx1)),
-                        jnp.minimum(_qy(by0), _qy(by1)))
-    q_min = jnp.where(inside, 0.0, q_min)
-    reach = q_min <= jnp.log(jnp.maximum(g.opacities[:, None], 1e-12) * 255.0)
-    valid = valid & reach
+    if cull:
+        inside = (bx0 <= 0) & (bx1 >= 0) & (by0 <= 0) & (by1 >= 0)
+        q_min = jnp.minimum(jnp.minimum(_qx(bx0), _qx(bx1)),
+                            jnp.minimum(_qy(by0), _qy(by1)))
+        q_min = jnp.where(inside, 0.0, q_min)
+        reach = q_min <= jnp.log(
+            jnp.maximum(g.opacities[:, None], 1e-12) * 255.0)
+        valid = valid & reach
 
     assert n_tiles * n < 2**31 - 1, "int32 sort key overflow"
     key = jnp.where(valid, tile_id * n + rank[:, None], INVALID).reshape(-1)
