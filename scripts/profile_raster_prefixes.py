@@ -106,13 +106,34 @@ ms_k = device_time(
     repeats=2) * 1e3
 print(f"bwd kernel alone: {ms_k:.2f} ms", flush=True)
 
+ms_kt = device_time(
+    lambda f, o, go, fo, g: composite_bwd(
+        f, o, go, fo, g, tile=tile, chunk=chunk, n_tiles_x=ntx,
+        n_tiles_y=nty, grad_cap=grad_cap)[:9].T,
+    args2, k1=1, k2=6, repeats=2) * 1e3
+print(f"bwd kernel + transpose: {ms_kt:.2f} ms", flush=True)
+
 ms_kg = device_time(
     lambda f, o, go, fo, g: composite_bwd(
         f, o, go, fo, g, tile=tile, chunk=chunk, n_tiles_x=ntx,
         n_tiles_y=nty, grad_cap=grad_cap
-    ).at[:, -1].set(0.0)[:9].T[jnp.clip(b_c.main_slot, 0).reshape(-1)],
+    )[:9].T[jnp.clip(b_c.main_slot, 0).reshape(-1)],
     args2, k1=1, k2=6, repeats=2) * 1e3
 print(f"bwd kernel + transpose + main gather: {ms_kg:.2f} ms", flush=True)
+
+# gout prologue (image -> tiles) + fwd epilogue (tiles -> image), XLA
+from sings_tpu.ops.rasterizer.relayout import (
+    retile_image_xla, untile_image_xla)
+
+img4 = jnp.ones((4, hw, hw), jnp.float32)
+ms_rt = device_time(
+    lambda x: retile_image_xla(x, tile=tile, ntx=ntx, nty=nty),
+    (img4,), k1=2, k2=20, repeats=2) * 1e3
+print(f"gout prologue (retile, XLA): {ms_rt:.2f} ms", flush=True)
+ms_ut = device_time(
+    lambda x: untile_image_xla(x, tile=tile, ntx=ntx, nty=nty),
+    (fwd_c,), k1=2, k2=20, repeats=2) * 1e3
+print(f"fwd epilogue (untile, XLA): {ms_ut:.2f} ms", flush=True)
 
 # ---- full fwd+bwd
 prev[0] = 0.0

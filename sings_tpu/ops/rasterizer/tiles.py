@@ -204,9 +204,24 @@ def bin_gaussians(
 
     if max_pairs is None:
         max_pairs = p
+    # pk MUST be a multiple of align: the composite kernels window the
+    # (NFEAT, pk + align) feats array with align-wide DMA slices, and an
+    # unaligned minor extent HARD-FAULTS the TPU worker at runtime
+    # (reproduced at pk = 25574*9 = 230166; aligned 230144 is clean —
+    # scripts/repro_refine_crash.py). Round UP and pad with INVALID
+    # keys so no pair is dropped by the alignment itself.
     pk = min(max_pairs, p)
-    sk = sorted_key[:pk]
-    sf = sorted_flat[:pk]
+    pk = -(-pk // align) * align
+    take = min(pk, p)
+    sk = sorted_key[:take]
+    sf = sorted_flat[:take]
+    if pk > take:
+        # fake flat ids >= p keep the inversion sort's keys unique;
+        # they sort past all real ids and are sliced off below
+        sk = jnp.concatenate(
+            [sk, jnp.full((pk - take,), INVALID, jnp.int32)])
+        sf = jnp.concatenate(
+            [sf, p + jnp.arange(pk - take, dtype=jnp.int32)])
     is_valid = sk != INVALID
     num_pairs = jnp.sum((sorted_key != INVALID).astype(jnp.int32))
     overflow = overflow + jnp.maximum(num_pairs - pk, 0)
@@ -227,7 +242,7 @@ def bin_gaussians(
     grad_offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(padded_counts).astype(jnp.int32)])
-    pg = grad_capacity(max_pairs, n_tiles, align)
+    pg = grad_capacity(pk, n_tiles, align)
     spare = pg - 1
 
     # grad slot per sorted pair i: i + shift[tile_i], with
@@ -244,12 +259,13 @@ def bin_gaussians(
     slot = jnp.arange(pk, dtype=jnp.int32) + shift_of_i
     slot = jnp.where(is_valid & (slot < pg - 1), slot, spare)
 
-    # invert to original pair order with one more sort
+    # invert to original pair order with one more sort (fake alignment
+    # ids >= p sort past every real id and are sliced off)
     slot_full = jnp.concatenate(
-        [slot, jnp.full((p - pk,), spare, jnp.int32)])
-    sf_full = jnp.concatenate([sf, sorted_flat[pk:]])
+        [slot, jnp.full((p - take,), spare, jnp.int32)])
+    sf_full = jnp.concatenate([sf, sorted_flat[take:]])
     _, pair_slot = jax.lax.sort_key_val(sf_full, slot_full)
-    ps = pair_slot.reshape(n, cap)
+    ps = pair_slot[:p].reshape(n, cap)
 
     # backward-glue tables: narrow prefix + compacted tail
     mw = min(main_width, cap)

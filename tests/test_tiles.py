@@ -88,8 +88,11 @@ def test_binning_max_pairs_truncates():
     npairs = int(full.num_pairs)
     capped = bin_gaussians(g, tile=16, n_tiles_x=4, n_tiles_y=4, max_span=8,
                            align=8, max_pairs=npairs // 2)
-    assert int(capped.overflow) >= npairs - npairs // 2
-    assert capped.sorted_gauss.shape[0] == npairs // 2
+    # pk rounds UP to the alignment (unaligned pair capacities fault the
+    # TPU DMA windows — tiles.py); overflow counts pairs beyond it
+    pk = -(-(npairs // 2) // 8) * 8
+    assert capped.sorted_gauss.shape[0] == pk
+    assert int(capped.overflow) >= npairs - pk
 
 
 def test_glue_slot_tables_grad_layout():
