@@ -149,7 +149,9 @@ def make_frame_loss(
             out["opacity"][:, 0], out["shs"], cam_loc, sh_degree=3,
             bg=bg, alive=buffers.alive > 0.5, screen_probe=probe,
             backend="pallas", **raster_kw)
-        render = jnp.clip(pkg["render"], 0.0, 1.0)
+        # raw render like train/step.py — clamping kills the corrective
+        # photometric gradient outside [0,1] (reference parity)
+        render = pkg["render"]
 
         # ---- photometric: local strip contributions
         y0 = strip_idx * strip_h

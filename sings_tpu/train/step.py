@@ -131,7 +131,13 @@ def make_train_step(
                 sh_degree=3, bg=bg, alive=buffers.alive > 0.5,
                 screen_probe=probe, backend="pallas", **raster_kw,
             )
-            render = jnp.clip(pkg["render"], 0.0, 1.0)
+            # NO clamp: the reference trains l1/ssim on the raw render
+            # (loss.py:53-68; lpips patches alone are clip(max=1), done
+            # inside photometric_loss). Clamping here zeroed the
+            # corrective gradient once a channel left [0,1] and made
+            # color runaway ABSORBING — SH dc diverged to +-20 over a
+            # full recipe (round-2 run 1; see ROUND2.md).
+            render = pkg["render"]
 
             photo, photo_d = photometric_loss(
                 k_photo, render, batch["rgb"], batch["mask"], bg,

@@ -737,7 +737,10 @@ class Trainer:
                     out["opacity"][:, 0], shs, cam, sh_degree=3, bg=bg,
                     alive=buffers.alive > 0.5, backend="pallas",
                     **self.raster_kw)
-                return jnp.clip(pkg["render"], 0.0, 1.0), out
+                # raw render: the reference's val psnr/ssim use the
+                # unclamped image (gs_trainer.py:584-585); lpips clips
+                # max=1 at its call site, saving clamps for PNG
+                return pkg["render"], out
 
             self._eval_render_cache[key] = render
         return self._eval_render_cache[key]
