@@ -47,7 +47,7 @@ def strip_ssim_local(pred: jax.Array, gt: jax.Array, axis_name: str,
     Callers inside jax.grad must use this local form and psum OUTSIDE
     the differentiated function (see dist/train_sharded.py).
     """
-    from ..ops.ssim import _band_matrix, _blur
+    from ..ops.ssim import _band_matrix, _blur, _ssim_map
 
     halo = window_size // 2
     p = halo_exchange_rows(pred, axis_name, halo)
@@ -59,14 +59,7 @@ def strip_ssim_local(pred: jax.Array, gt: jax.Array, axis_name: str,
     def blur(x):
         return _blur(x, bh, bw)
 
-    mu1, mu2 = blur(p), blur(g)
-    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = blur(p * p) - mu1_sq
-    s2 = blur(g * g) - mu2_sq
-    s12 = blur(p * g) - mu1_mu2
-    c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
-        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    ssim_map = _ssim_map(blur, p, g)
     core = ssim_map[:, halo:-halo]  # this rank's rows only
     return core.mean() / jax.lax.axis_size(axis_name)
 

@@ -93,14 +93,21 @@ def _cumsum_rows(x, block: int = 512):
     matmul per block plus a tiny carry chain is ~4x less HBM traffic.
     """
     n, d = x.shape
+    # HIGHEST precision is required: the caller reads cell sums as
+    # DIFFERENCES of adjacent cumsum rows, so any matmul rounding of
+    # the large running totals (bf16 inputs at the MXU default) lands
+    # directly on the small per-cell gradients (same failure class as
+    # the SSIM variance cancellation, see ops/ssim.py::_blur).
+    hp = jax.lax.Precision.HIGHEST
     if n <= block:
         tri = jnp.tril(jnp.ones((n, n), x.dtype))
-        return jnp.dot(tri, x, preferred_element_type=x.dtype)
+        return jnp.dot(tri, x, preferred_element_type=x.dtype,
+                       precision=hp)
     nb = -(-n // block)
     xp = jnp.pad(x, ((0, nb * block - n), (0, 0))).reshape(nb, block, d)
     tri = jnp.tril(jnp.ones((block, block), x.dtype))
     intra = jnp.einsum("ij,bjd->bid", tri, xp,
-                       preferred_element_type=x.dtype)
+                       preferred_element_type=x.dtype, precision=hp)
     carry = jnp.cumsum(intra[:, -1, :], axis=0)  # (nb, d), tiny
     carry = jnp.concatenate([jnp.zeros((1, d), x.dtype), carry[:-1]], 0)
     return (intra + carry[:, None, :]).reshape(nb * block, d)[:n]

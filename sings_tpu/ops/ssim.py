@@ -37,9 +37,42 @@ def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
 
 
 def _blur(img: jax.Array, bh: jax.Array, bw: jax.Array) -> jax.Array:
-    """Separable Gaussian blur as banded matmuls. img: (C, H, W)."""
-    tmp = jnp.einsum("hH,cHw->chw", bh, img)
-    return jnp.einsum("wW,chW->chw", bw, tmp)
+    """Separable Gaussian blur as banded matmuls. img: (C, H, W).
+
+    Precision=HIGHEST is LOAD-BEARING, not a nicety: at the MXU's
+    default precision (bf16 inputs) the moment differences
+    E[x^2] - mu^2 below lose everything to cancellation — window
+    variances are ~1e-3 while the means are ~0.5, so bf16's ~0.4%
+    rounding makes variances NEGATIVE and the SSIM denominator
+    (s1 + s2 + c2, c2 = 9e-4) crosses ZERO. On hardware this produced
+    ssim ~ 6 (analytically impossible; bounded by 1), i.e. a strongly
+    NEGATIVE (1 - ssim) loss the optimizer then maximized — the round-2
+    full-recipe color divergence (ROUND2.md). CPU tests never saw it
+    because XLA:CPU convs are true f32.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("hH,cHw->chw", bh, img, precision=hp)
+    return jnp.einsum("wW,chW->chw", bw, tmp, precision=hp)
+
+
+def _ssim_map(blur_fn, img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """Per-pixel SSIM map given a SAME-shaped blur operator.
+
+    The variance floor and the Cauchy-Schwarz clamp on the covariance
+    are no-ops in exact arithmetic (sigma^2 >= 0, |sigma12| <=
+    sigma1*sigma2 hold analytically) but bound the map under float
+    noise so ssim <= ~1 can never be violated materially.
+    """
+    mu1, mu2 = blur_fn(img1), blur_fn(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = jnp.maximum(blur_fn(img1 * img1) - mu1_sq, 0.0)
+    s2 = jnp.maximum(blur_fn(img2 * img2) - mu2_sq, 0.0)
+    s12 = blur_fn(img1 * img2) - mu1_mu2
+    lim = jnp.sqrt(s1 * s2)
+    s12 = jnp.clip(s12, -lim, lim)
+    c1, c2 = 0.01**2, 0.03**2
+    return ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
@@ -52,16 +85,7 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     bh = jnp.asarray(_band_matrix(h, window_size, sigma))
     bw = jnp.asarray(_band_matrix(w, window_size, sigma))
     _blur_hw = functools.partial(_blur, bh=bh, bw=bw)
-    mu1 = _blur_hw(img1)
-    mu2 = _blur_hw(img2)
-    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur_hw(img1 * img1) - mu1_sq
-    sigma2_sq = _blur_hw(img2 * img2) - mu2_sq
-    sigma12 = _blur_hw(img1 * img2) - mu1_mu2
-    c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
-        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
-    return ssim_map.mean()
+    return _ssim_map(_blur_hw, img1, img2).mean()
 
 
 def psnr(img1: jax.Array, img2: jax.Array) -> jax.Array:
