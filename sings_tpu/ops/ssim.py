@@ -68,9 +68,14 @@ def _ssim_map(blur_fn, img1: jax.Array, img2: jax.Array) -> jax.Array:
     s1 = jnp.maximum(blur_fn(img1 * img1) - mu1_sq, 0.0)
     s2 = jnp.maximum(blur_fn(img2 * img2) - mu2_sq, 0.0)
     s12 = blur_fn(img1 * img2) - mu1_mu2
-    lim = jnp.sqrt(s1 * s2)
-    s12 = jnp.clip(s12, -lim, lim)
     c1, c2 = 0.01**2, 0.03**2
+    # the bound carries NO gradient (stop_gradient): constant windows
+    # (flat background) have s1*s2 == 0 exactly and sqrt' there is inf —
+    # a differentiable bound NaN'd every training step. The +c2 margin
+    # keeps the clip inactive in sane regimes; it only catches numeric
+    # blowups.
+    lim = jax.lax.stop_gradient(jnp.sqrt(jnp.maximum(s1 * s2, 0.0)) + c2)
+    s12 = jnp.clip(s12, -lim, lim)
     return ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
 

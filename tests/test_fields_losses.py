@@ -384,3 +384,24 @@ def test_lpips_npz_round_trip_matches_torch():
     assert params.pretrained
     got = np.asarray(lpips_distance(params, jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_ssim_grad_finite_on_flat_regions():
+    """Constant (background) windows have zero variance; the SSIM
+    guard's covariance bound must not produce NaN gradients there
+    (regression: sqrt' at 0 NaN'd every train step)."""
+    import jax
+
+    from sings_tpu.ops.ssim import ssim
+
+    rng = np.random.RandomState(0)
+    gt = np.zeros((3, 64, 64), np.float32)
+    gt[:, 20:40, 20:40] = rng.rand(3, 20, 20)
+    pred = np.zeros((3, 64, 64), np.float32)  # fully flat pred
+    g = jax.grad(lambda p: ssim(p, jnp.asarray(gt)))(jnp.asarray(pred))
+    assert np.isfinite(np.asarray(g)).all()
+    # identical flat pair: ssim == 1, gradient finite
+    g2 = jax.grad(lambda p: ssim(p, jnp.zeros((3, 64, 64))))(
+        jnp.zeros((3, 64, 64)))
+    assert np.isfinite(np.asarray(g2)).all()
+    assert float(ssim(jnp.asarray(gt), jnp.asarray(gt))) == 1.0
