@@ -64,6 +64,48 @@ class TrainingKit(NamedTuple):
     train_split: list[int]
     val_split: list[int]
     name: str
+    # optional sapiens coco-133 keypoints (keypoints_coco133/<model>/
+    # %06d.json, the reference refiner's input — ooptimize_smplh.py:326)
+    keypoints: np.ndarray | None = None        # (F, 133, 2) px coords
+    keypoint_scores: np.ndarray | None = None  # (F, 133)
+
+
+def load_keypoints(kit_dir: str, *, skip_first: int = 2,
+                   downscale: int = 1,
+                   max_frames: int | None = None):
+    """Load per-frame sapiens coco-133 keypoints if the kit has them.
+
+    Mirrors the reference refiner's consumption (ooptimize_smplh.py:
+    326-331): one json per frame under keypoints_coco133/<model_name>/,
+    first detected instance. Returns (coords (F,133,2), scores (F,133))
+    aligned with load_kit's frame list, or (None, None)."""
+    import json
+
+    root = os.path.join(kit_dir, "keypoints_coco133")
+    if not os.path.isdir(root):
+        return None, None
+    subdirs = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)))
+    if not subdirs:
+        return None, None
+    files = sorted(glob.glob(os.path.join(root, subdirs[0], "*.json")))
+    files = files[skip_first:]
+    if max_frames is not None:
+        files = files[:max_frames]
+    coords, scores = [], []
+    for p in files:
+        with open(p) as fh:
+            d = json.load(fh)
+        inst = d["instance_info"][0]
+        coords.append(np.asarray(inst["keypoints"], np.float32))
+        scores.append(np.asarray(inst["keypoint_scores"], np.float32))
+    if not coords:
+        return None, None
+    kp = np.stack(coords)
+    if downscale > 1:
+        kp = kp / float(downscale)
+    return kp, np.stack(scores)
 
 
 def load_kit(
@@ -127,8 +169,14 @@ def load_kit(
     assert images.shape[2] == height and images.shape[3] == width
 
     train_split, val_split = get_data_splits(len(img_list))
+    kp, kp_scores = load_keypoints(
+        kit_dir, skip_first=skip_first, downscale=downscale,
+        max_frames=max_frames)
+    if kp is not None and kp.shape[0] != len(img_list):
+        kp = kp_scores = None  # keypoints out of sync with frames
     return TrainingKit(
         images=images, masks=masks, smpl=smpl, camera=camera,
         train_split=train_split, val_split=val_split,
         name=os.path.basename(os.path.normpath(kit_dir)),
+        keypoints=kp, keypoint_scores=kp_scores,
     )

@@ -57,6 +57,10 @@ class BodyTemplate(NamedTuple):
     # stacked [left, right]. None for SMPL / synthetic-without-hands.
     hands_components: np.ndarray | None = None  # (2, n_comp, 45)
     hands_mean: np.ndarray | None = None        # (2, 45)
+    # synthetic templates only: how many trailing shapedirs columns are
+    # skeleton-proportion ("bone") dims appended by synthetic_template
+    # (see _bone_shapedirs); 0 for licensed SMPL models
+    n_bone_betas: int = 0
 
     @property
     def num_verts(self):
@@ -215,9 +219,73 @@ _SEGMENTS = [
 ]
 
 
+# symmetric bone groups for the skeleton-proportion shape dims: each
+# entry = (name, list of _SEGMENTS indices). Stretching a group's bones
+# translates everything kinematically downstream, so limb proportions
+# (which the fixed _SMPL_JOINT_POS skeleton gets wrong for any real
+# subject) become fittable from keypoints (preprocess/refine.py).
+_BONE_GROUPS = [
+    ("torso", [0, 1, 2, 3]),       # pelvis->spine1->spine2->spine3->neck
+    ("head", [4]),                 # neck->head
+    ("shoulder_width", [5, 9]),    # collar->shoulder, both sides
+    ("upper_arms", [6, 10]),
+    ("forearms", [7, 11]),
+    ("hands", [8, 12]),
+    ("thighs", [13, 16]),
+    ("calves", [14, 17]),
+    ("feet", [15, 18]),
+]
+_BONE_STRETCH = 0.15   # fractional bone stretch per unit beta
+_HIP_WIDTH = 0.05      # hip half-width shift (m) per unit beta
+
+
+def _joint_descendants(parents: np.ndarray) -> list[set]:
+    """desc[j] = {j} U all kinematic descendants of j."""
+    nj = len(parents)
+    desc = [{j} for j in range(nj)]
+    for j in range(nj - 1, 0, -1):
+        desc[int(parents[j])] |= desc[j]
+    return desc
+
+
+def _bone_shapedirs(joints: np.ndarray, seg_slices: list, seg_t: list,
+                    nv: int) -> np.ndarray:
+    """Skeleton-proportion displacement fields as shapedir columns.
+
+    Per bone group: verts ON a stretched bone move t * bone_vec * a
+    (t = position along the bone), verts on kinematically DOWNSTREAM
+    segments translate by bone_vec * a — a linear field, so it is
+    exact under beta mixing and under subdivision's midpoint
+    interpolation (subdivide_template). Joints follow automatically
+    because lbs() regresses them from the shaped verts. Last column:
+    hip width (legs translate +-x)."""
+    desc = _joint_descendants(SMPL_PARENTS[:24])
+    n_bone = len(_BONE_GROUPS) + 1
+    extra = np.zeros((nv, 3, n_bone), np.float32)
+    for g, (_name, segs) in enumerate(_BONE_GROUPS):
+        for si in segs:
+            pj, cj = _SEGMENTS[si][0], _SEGMENTS[si][1]
+            vec = (joints[cj] - joints[pj]) * _BONE_STRETCH
+            s0, s1 = seg_slices[si]
+            extra[s0:s1, :, g] += seg_t[si][:, None] * vec[None]
+            for sj, seg in enumerate(_SEGMENTS):
+                if sj != si and seg[0] in desc[cj]:
+                    t0, t1 = seg_slices[sj]
+                    extra[t0:t1, :, g] += vec[None]
+    # hip width: the whole left leg +x, right leg -x
+    for sj, seg in enumerate(_SEGMENTS):
+        if seg[0] in desc[1]:    # left leg roots at hip joint 1
+            t0, t1 = seg_slices[sj]
+            extra[t0:t1, 0, -1] += _HIP_WIDTH
+        elif seg[0] in desc[2]:  # right leg
+            t0, t1 = seg_slices[sj]
+            extra[t0:t1, 0, -1] -= _HIP_WIDTH
+    return extra
+
+
 def synthetic_template(
     num_betas: int = 10, *, n_seg: int = 7, n_ring: int = 12,
-    hands: bool = False, seed: int = 0,
+    hands: bool = False, seed: int = 0, n_bone_betas: int = 0,
 ) -> BodyTemplate:
     """Deterministic synthetic humanoid with SMPL(-H) skeleton.
 
@@ -225,11 +293,16 @@ def synthetic_template(
     bone, random-smooth shapedirs, joint regressor reproducing the
     skeleton from the mesh. ~1.6k vertices at default resolution — use
     subdivide_template() to densify like the reference does for SMPL.
+
+    n_bone_betas > 0 appends up to len(_BONE_GROUPS)+1 skeleton-
+    proportion shapedir columns AFTER the num_betas requested columns
+    (see _bone_shapedirs); total betas = num_betas + n_bone_betas.
     """
     rng = np.random.RandomState(seed)
     joints = np.array([_SMPL_JOINT_POS[j] for j in range(24)])
 
     all_v, all_f, all_w, all_label, all_rad = [], [], [], [], []
+    seg_slices, seg_t = [], []
     offset = 0
     for (pj, cj, radius, label) in _SEGMENTS:
         v, f, t, rad = _tube(joints[pj], joints[cj], radius, n_seg, n_ring)
@@ -243,6 +316,8 @@ def synthetic_template(
         all_w.append(w)
         all_label.append(np.full(len(v), label, dtype=np.int64))
         all_rad.append(rad)
+        seg_slices.append((offset, offset + len(v)))
+        seg_t.append(np.asarray(t, np.float32))
         offset += len(v)
 
     v_template = np.concatenate(all_v).astype(np.float32)
@@ -290,6 +365,12 @@ def synthetic_template(
         shapedirs[:, :, b] = (np.sin(phase)[:, None]
                               * (rng.randn(3) * 0.01)[None])
 
+    n_bone = min(int(n_bone_betas), len(_BONE_GROUPS) + 1)
+    if n_bone > 0:
+        bone_dirs = _bone_shapedirs(joints, seg_slices, seg_t, nv)
+        shapedirs = np.concatenate(
+            [shapedirs, bone_dirs[:, :, :n_bone]], axis=-1)
+
     parents = SMPL_PARENTS.copy()
     weights = lbs_weights
     if hands:
@@ -326,6 +407,7 @@ def synthetic_template(
         vertex_label=vertex_label,
         vertex_id=np.arange(nv, dtype=np.int64),
         name="synthetic",
+        n_bone_betas=n_bone,
     )
 
 
@@ -422,7 +504,11 @@ def load_template(
         except Exception:
             pass
     if tpl is None:
-        tpl = synthetic_template(num_betas, hands=(model_type == "smplh"))
+        # the synthetic skeleton's limb proportions are fixed guesses;
+        # expose them as extra shape dims so the keypoint/silhouette fit
+        # (preprocess/refine.py) can correct them per subject
+        tpl = synthetic_template(num_betas, hands=(model_type == "smplh"),
+                                 n_bone_betas=len(_BONE_GROUPS) + 1)
     if n_subdivision > 0:
         tpl = subdivide_template(tpl, n_subdivision, smooth=True)
     return tpl

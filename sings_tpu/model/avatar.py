@@ -235,7 +235,13 @@ def get_gs_attrs(
     scales = scales.at[:, -1].multiply(cfg.thickness_factor)
     scales = scales * buffers.scaling_multiplier
     if cfg.scale_clamp > 0:
-        scales = jnp.minimum(scales, cfg.scale_clamp)
+        # LEAKY ceiling (slope 0.05 above the clamp): a hard
+        # jnp.minimum has zero gradient above the rail, so a gaussian
+        # that once grew past it could never be pulled back — the r2
+        # quality run ended with scales pinned at exactly the clamp
+        # (VERDICT r2; work/run_r2_f2_dark anim diagnostics)
+        c = cfg.scale_clamp
+        scales = jnp.where(scales > c, c + 0.05 * (scales - c), scales)
 
     offsets = geo["xyz_offsets"]
     if cfg.offset_clamp > 0:

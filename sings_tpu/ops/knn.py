@@ -85,13 +85,17 @@ def knn_rows(points: jax.Array, k: int, *, row_start, rows: int,
     if valid is None:
         valid = jnp.ones((n,), bool)
 
-    # largest divisor of rows <= block so the block loop tiles the row
-    # range exactly (static shapes, no overlap)
-    bl = next(d for d in range(min(block, rows), 0, -1) if rows % d == 0)
+    # pad the query range up to a block multiple (clamped row gather, pad
+    # rows discarded below) — picking "largest divisor of rows" instead
+    # degraded to 1-row blocks for prime row counts, i.e. thousands of
+    # tiny matmuls via lax.map
+    bl = min(block, rows)
+    rows_padded = -(-rows // bl) * bl
 
     def one_block(start):
-        q = jax.lax.dynamic_slice_in_dim(points, start, bl, axis=0)
-        qsq = jax.lax.dynamic_slice_in_dim(sq, start, bl, axis=0)
+        qi = jnp.clip(start + jnp.arange(bl), 0, n - 1)
+        q = points[qi]
+        qsq = sq[qi]
         d2 = qsq[:, None] + sq[None, :] - 2.0 * (q @ points.T)
         d2 = jnp.where(valid[None, :], d2, big)
         if approx:
@@ -99,6 +103,8 @@ def knn_rows(points: jax.Array, k: int, *, row_start, rows: int,
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx
 
-    starts = row_start + jnp.arange(rows // bl) * bl
+    starts = row_start + jnp.arange(rows_padded // bl) * bl
     dists, idx = jax.lax.map(one_block, starts)
-    return jnp.maximum(dists.reshape(-1, k), 0.0), idx.reshape(-1, k)
+    dists = dists.reshape(-1, k)[:rows]
+    idx = idx.reshape(-1, k)[:rows]
+    return jnp.maximum(dists, 0.0), idx

@@ -200,8 +200,9 @@ def rasterize(
     """Differentiable gaussian splatting to an image.
 
     Mirrors the reference render() contract (gs_renderer_single.py:45-107)
-    and returns {'render' (3,H,W) UNCLAMPED (callers clip to [0,1] like
-    the reference wrapper does), 'radii', 'visibility_filter',
+    and returns {'render' (3,H,W) UNCLAMPED — training/eval consume the
+    raw render like the reference autograd path; only PNG export and
+    LPIPS inputs clip to [0,1]), 'radii', 'visibility_filter',
     'transmittance', 'means2d'}.
 
     screen_probe: optional (N, 2) zeros; its gradient equals the CUDA
@@ -213,6 +214,7 @@ def rasterize(
     g2d = preprocess(
         means3d, scales, quats, opacities, features, camera,
         sh_degree=sh_degree, scale_modifier=scale_modifier, alive=alive,
+        tile=tile,
     )
     means2d = g2d.means2d
     if screen_probe is not None:
@@ -222,6 +224,14 @@ def rasterize(
         means2d = means2d + screen_probe * probe_scale
 
     if backend == "pallas":
+        if relayout == "pallas" and not interpret:
+            # the relayout kernels fail Mosaic lowering on real TPU (the
+            # (1,256)->(16,16) lane-split reshape is an unsupported shape
+            # cast); selecting them outside interpret mode would crash at
+            # compile time with an opaque Mosaic error
+            raise NotImplementedError(
+                "relayout='pallas' only lowers under interpret=True; use "
+                "relayout='xla' on hardware (see relayout.py)")
         cfg = RasterConfig(
             height=camera.height, width=camera.width, tile=tile, chunk=chunk,
             max_span=max_span, max_pairs=max_pairs, main_width=main_width,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..kinematics.template import DeviceTemplate, smpl_forward
+from ..kinematics.template import DeviceTemplate, full_pose, smpl_forward
 from ..ops.graphics import Camera
 from ..ops.projection import project_points
 from ..ops.rasterizer.api import rasterize
@@ -55,6 +55,166 @@ def coco133_to_smpl(coco2d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         out[..., smpl_j, :] = coco2d[..., coco_j, :]
         valid[..., smpl_j] = 1.0
     return out, valid
+
+
+# full-body COCO-133 -> SMPL-24 joint correspondence (reference body
+# rows from ooptimize_smplh.coco17_to_smpl/coco133_to_smplh:33-117;
+# feet via the big-toe keypoints)
+_COCO133_SMPL_PAIRS = (
+    (1, 11), (2, 12),      # hips
+    (4, 13), (5, 14),      # knees
+    (7, 15), (8, 16),      # ankles
+    (10, 17), (11, 20),    # feet (big toes)
+    (16, 5), (17, 6),      # shoulders
+    (18, 7), (19, 8),      # elbows
+    (20, 9), (21, 10),     # wrists
+)
+
+
+def coco133_body_targets(
+    kp: np.ndarray, scores: np.ndarray, thresh: float = 0.8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score-weighted full-body SMPL-24 keypoint targets.
+
+    kp (F, 133, 2), scores (F, 133) -> targets (F, 24, 2) + weights
+    (F, 24). Detections below `thresh` are discarded like the
+    reference (ooptimize_smplh.py:334: joints_target[score < 0.8] = 0);
+    the head joint is anchored at the ear midpoint."""
+    assert kp.shape[-2:] == (133, 2)
+    f = kp.shape[0]
+    out = np.zeros((f, 24, 2), np.float32)
+    w = np.zeros((f, 24), np.float32)
+    for sj, cj in _COCO133_SMPL_PAIRS:
+        out[:, sj] = kp[:, cj]
+        w[:, sj] = np.where(scores[:, cj] >= thresh,
+                            np.minimum(scores[:, cj], 1.0), 0.0)
+    ear_ok = (scores[:, 3] >= thresh) & (scores[:, 4] >= thresh)
+    out[:, 15] = 0.5 * (kp[:, 3] + kp[:, 4])
+    w[:, 15] = np.where(ear_ok, 1.0, 0.0)
+    return out, w
+
+
+class SkeletonFitConfig(NamedTuple):
+    steps: int = 500
+    lr: float = 0.02
+    huber_px: float = 10.0        # robust width of the reprojection loss
+    w_pose_prior: float = 1.0     # rad^2 toward the kit's initial poses
+    w_beta_prior: float = 0.05
+    w_temporal: float = 10.0      # adjacent-frame pose/transl smoothness
+    optimize_betas: bool = True
+
+
+def posed_smpl_joints(template: DeviceTemplate, params: dict) -> jax.Array:
+    """(F, 24, 3) posed joint positions — the joints-only LBS prefix
+    (blend shapes -> regressor -> kinematic chain), skipping the
+    per-vertex skinning entirely. Used by the keypoint-only fit."""
+    from ..kinematics.lbs import (batch_rigid_transform, batch_rodrigues,
+                                  blend_shapes, vertices2joints)
+
+    f = params["body_pose"].shape[0]
+    v_shaped = template.v_template[None] + blend_shapes(
+        params["betas"].reshape(1, -1), template.shapedirs)
+    joints = vertices2joints(template.j_regressor, v_shaped)  # (1, J, 3)
+    pose = full_pose(template, params["global_orient"],
+                     params["body_pose"])
+    rot = batch_rodrigues(pose.reshape(f, -1, 3))
+    joints_b = jnp.broadcast_to(joints, (f,) + joints.shape[1:])
+    posed, _ = batch_rigid_transform(rot, joints_b, template.parents)
+    return posed[:, :24] + params["transl"][:, None, :]
+
+
+def fit_skeleton(
+    template: DeviceTemplate,
+    K: np.ndarray,
+    smpl_init: dict,
+    kp_targets: np.ndarray,
+    kp_weights: np.ndarray,
+    cfg: SkeletonFitConfig = SkeletonFitConfig(),
+    beta_mask: np.ndarray | None = None,
+) -> dict:
+    """Stage-A geometric alignment: keypoints only, no rendering.
+
+    Jointly fits shared betas (incl. the synthetic template's
+    bone-proportion dims) and per-frame pose/orient/transl to the
+    sapiens 2D keypoints — the same signal the reference refiner uses
+    (ooptimize_smplh.py:326-378) but solved for ALL frames at once so
+    the shared shape is constrained by every view of the turnaround.
+    Returns refined {betas, global_orient, body_pose, transl, losses,
+    px_err (mean weighted px error per recorded step)}.
+
+    beta_mask: optional (nb,) 0/1 — only masked-in beta dims receive
+    gradient. Keypoints constrain the SKELETON, so for the synthetic
+    template the caller should mask to global scale + bone-proportion
+    dims and leave the radial-thickness dims to the silhouette stage
+    (unconstrained, the fit drives radial dims negative enough to
+    invert tube geometry).
+    """
+    Kj = jnp.asarray(K)
+    kp_t = jnp.asarray(kp_targets)
+    kp_w = jnp.asarray(kp_weights)
+    b_mask = (None if beta_mask is None
+              else jnp.asarray(beta_mask, jnp.float32))
+
+    params0 = {
+        "global_orient": jnp.asarray(smpl_init["global_orient"]),
+        "body_pose": jnp.asarray(smpl_init["body_pose"]),
+        "transl": jnp.asarray(smpl_init["transl"]),
+        "betas": jnp.asarray(smpl_init["betas"]),
+    }
+    prior = jax.tree.map(jnp.copy, params0)
+
+    def loss_fn(params):
+        if b_mask is not None:
+            params = dict(params)
+            params["betas"] = (
+                params["betas"] * b_mask
+                + jax.lax.stop_gradient(params["betas"]) * (1 - b_mask))
+        joints = posed_smpl_joints(template, params)  # (F, 24, 3)
+        uvw = jnp.einsum("fjc,kc->fjk", joints, Kj)
+        z = jnp.where(jnp.abs(uvw[..., 2:]) < 1e-9, 1e-9, uvw[..., 2:])
+        uv = uvw[..., :2] / z
+        e = jnp.sqrt(jnp.sum((uv - kp_t) ** 2, axis=-1) + 1e-8)  # px
+        d = cfg.huber_px
+        hub = jnp.where(e <= d, 0.5 * e * e / d, e - 0.5 * d)
+        px_err = (e * kp_w).sum() / jnp.maximum(kp_w.sum(), 1.0)
+        l_kp = (hub * kp_w).sum() / jnp.maximum(kp_w.sum(), 1.0)
+        l_prior = (
+            jnp.mean((params["body_pose"] - prior["body_pose"]) ** 2)
+            + jnp.mean((params["global_orient"]
+                        - prior["global_orient"]) ** 2))
+        l_beta = jnp.mean(params["betas"] ** 2)
+        l_temp = sum(
+            jnp.mean(jnp.diff(params[k], axis=0) ** 2)
+            for k in ("body_pose", "global_orient", "transl"))
+        total = (l_kp + cfg.w_pose_prior * l_prior
+                 + cfg.w_beta_prior * l_beta + cfg.w_temporal * l_temp)
+        return total, px_err
+
+    tx = optax.adam(cfg.lr)
+    if not cfg.optimize_betas:
+        tx = optax.chain(tx, optax.masked(
+            optax.scale(0.0), {k: k == "betas" for k in params0}))
+    opt_state = tx.init(params0)
+
+    @jax.jit
+    def run(params, opt_state):
+        def step(carry, _):
+            params, opt_state = carry
+            (loss, px), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, px)
+
+        (params, opt_state), (losses, px) = jax.lax.scan(
+            step, (params, opt_state), None, length=cfg.steps)
+        return params, losses, px
+
+    params, losses, px = run(params0, opt_state)
+    out = {k: np.asarray(v) for k, v in params.items()}
+    out["losses"] = np.asarray(losses)
+    out["px_err"] = np.asarray(px)
+    return out
 
 
 class RefineConfig(NamedTuple):
@@ -143,6 +303,9 @@ def refine_smpl(
     params0 = dict(init)
     prior = jax.tree.map(jnp.copy, init)
 
+    use_sil = cfg.w_silhouette > 0.0
+    use_kp = kp is not None and cfg.w_keypoints > 0.0
+
     def frame_loss(params, i):
         out = smpl_forward(
             template, params["betas"].reshape(1, -1),
@@ -150,31 +313,44 @@ def refine_smpl(
             params["global_orient"][i].reshape(1, 3),
             disable_posedirs=template.posedirs is None,
         )
-        verts = out.verts[0] + params["transl"][i][None]
-        joints = out.joints[0] + params["transl"][i][None]
-
-        sil = _silhouette(verts, cam_lr, cfg, raster_kw)
-        l_sil = jnp.mean((sil - masks_d[i]) ** 2)
-
-        l_kp = 0.0
-        if kp is not None:
+        # zero-weight terms are dropped at TRACE time: XLA cannot fold
+        # 0 * x (0 * inf = nan), so a disabled silhouette term would
+        # still run the rasterizer AND propagate any non-finite
+        # backward values into the other terms' gradients
+        l = 0.0
+        if use_sil:
+            verts = out.verts[0] + params["transl"][i][None]
+            sil = _silhouette(verts, cam_lr, cfg, raster_kw)
+            l = l + cfg.w_silhouette * jnp.mean((sil - masks_d[i]) ** 2)
+        if use_kp:
+            joints = out.joints[0] + params["transl"][i][None]
             uv = project_points(joints[:24], Kj)[:, :2]
-            err = jnp.sum((uv - kp[i]) ** 2, axis=-1)
+            # robust (huber, 10px) weighted reprojection — same loss as
+            # fit_skeleton so the silhouette term can't drag the
+            # skeleton off the keypoint anchors
+            e = jnp.sqrt(jnp.sum((uv - kp[i]) ** 2, axis=-1) + 1e-8)
+            d = 10.0
+            hub = jnp.where(e <= d, 0.5 * e * e / d, e - 0.5 * d)
             if kp_valid is not None:
-                err = err * kp_valid[i]
-                l_kp = err.sum() / jnp.maximum(kp_valid[i].sum(), 1.0)
+                l_kp = (hub * kp_valid[i]).sum() / jnp.maximum(
+                    kp_valid[i].sum(), 1.0)
             else:
-                l_kp = err.mean()
+                l_kp = hub.mean()
+            l = l + cfg.w_keypoints * l_kp
 
         l_prior = sum(
             jnp.mean((params[k] - prior[k]) ** 2)
             for k in ("body_pose", "global_orient", "transl"))
-        return (cfg.w_silhouette * l_sil + cfg.w_keypoints * l_kp
-                + cfg.w_prior * l_prior)
+        return l + cfg.w_prior * l_prior
 
-    def total_loss(params, rng):
-        nb = min(cfg.batch_frames, f)
-        idx = jax.random.choice(rng, f, (nb,), replace=False)
+    nb = min(cfg.batch_frames, f)
+
+    def total_loss(params, step_i):
+        # deterministic round-robin frame batches: every frame's
+        # per-frame params get gradient at the same rate (random
+        # subsets left rarely-sampled frames coasting on stale Adam
+        # momentum between visits)
+        idx = (step_i * nb + jnp.arange(nb)) % f
         losses = jax.vmap(lambda i: frame_loss(params, i))(idx)
         return losses.mean()
 
@@ -188,16 +364,22 @@ def refine_smpl(
 
     @jax.jit
     def run(params, opt_state):
-        def step(carry, rng):
+        def step(carry, step_i):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(total_loss)(params, rng)
+            loss, grads = jax.value_and_grad(total_loss)(params, step_i)
+            # skip non-finite steps (the trainer has the same guard):
+            # one bad rasterizer backward must not poison Adam state
+            finite = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, 0.0), grads)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        rngs = jax.random.split(jax.random.PRNGKey(0), cfg.steps)
+        steps_i = jnp.arange(cfg.steps, dtype=jnp.int32)
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), rngs)
+            step, (params, opt_state), steps_i)
         return params, losses
 
     params, losses = run(params0, opt_state)

@@ -125,12 +125,24 @@ class Trainer:
             num_betas=len(self.kit.smpl["betas"]),
             n_subdivision=hcfg.n_subdivision,
         )
-        if (self.tpl.name == "synthetic" and not cfg.eval
+        if self.tpl.name == "synthetic":
+            # the kit's betas parametrize the real (licensed) SMPL; on
+            # the synthetic template they are meaningless AND the wrong
+            # size (the template appends bone-proportion dims) — zero
+            # them at the template's dimension. The calibration below
+            # (or its cache) replaces them with fitted values.
+            smpl = dict(self.kit.smpl)
+            smpl["betas"] = np.zeros(self.tpl.num_betas, np.float32)
+            self.kit = self.kit._replace(smpl=smpl)
+        if (self.tpl.name == "synthetic"
                 and cfg.tpu.get("auto_fit_synthetic", True)):
             # the kit's SMPL fits assume the real (licensed) SMPL body;
-            # calibrate the synthetic template's interpretable betas +
-            # per-frame poses against the masks (IoU ~0.6 -> ~0.85 on
-            # the bundled kit) so photometric training starts aligned
+            # calibrate the synthetic template's skeleton proportions +
+            # per-frame poses against the kit's sapiens keypoints and
+            # masks so photometric training starts geometrically
+            # aligned. In eval mode this only loads the cached
+            # calibration (the anim-time contract needs the same betas
+            # dim as the checkpoint).
             self._fit_synthetic_body(hcfg)
         self.template = DeviceTemplate.from_host(self.tpl)
 
@@ -329,22 +341,43 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _fit_synthetic_body(self, hcfg):
-        """Silhouette-calibrate the synthetic template (see __init__)."""
+        """Geometrically calibrate the synthetic template (see __init__).
+
+        Two stages, mirroring the reference refiner's signals
+        (ooptimize_smplh.py:263-404): (A) keypoint-only skeleton fit —
+        shared bone proportions + per-frame pose/transl against the
+        kit's sapiens coco-133 keypoints; (B) silhouette+keypoint
+        refinement of all betas (thickness) and poses against the SAM2
+        masks. Result is cached in the logdir (the anim/eval contract).
+        """
+        nb = self.tpl.num_betas
         cache_path = os.path.join(self.logdir, "synthetic_fit.npz")
         if os.path.exists(cache_path):
             data = dict(np.load(cache_path))
-            self.kit = self.kit._replace(smpl={
-                k: data[k] for k in ("betas", "global_orient", "body_pose",
-                                     "transl")})
-            print("[fit_synthetic] loaded cached calibration", flush=True)
+            if data["betas"].shape[-1] == nb:
+                self.kit = self.kit._replace(smpl={
+                    k: data[k] for k in ("betas", "global_orient",
+                                         "body_pose", "transl")})
+                print("[fit_synthetic] loaded cached calibration",
+                      flush=True)
+                return
+            print("[fit_synthetic] cached calibration has stale betas "
+                  f"({data['betas'].shape[-1]} != {nb}); refitting",
+                  flush=True)
+        if self.cfg.eval:
+            # eval without a calibration cache: keep the kit poses and
+            # the zeroed betas (already sized to the template)
+            print("[fit_synthetic] eval mode, no cache: zeroed betas",
+                  flush=True)
             return
-        from ..preprocess.refine import RefineConfig, refine_smpl
         from ..kinematics.template import DeviceTemplate as _DT
+        from ..preprocess.refine import (RefineConfig, SkeletonFitConfig,
+                                         coco133_body_targets,
+                                         fit_skeleton, refine_smpl)
 
-        f = len(self.kit.masks)
         d = max(1, min(self.camera.height, self.camera.width) // 128)
         init = {
-            "betas": np.zeros(self.tpl.num_betas, np.float32),
+            "betas": np.zeros(nb, np.float32),
             "global_orient": self.kit.smpl["global_orient"],
             "body_pose": self.kit.smpl["body_pose"],
             "transl": self.kit.smpl["transl"],
@@ -355,12 +388,37 @@ class Trainer:
              [0, self.camera.height / (2 * self.camera.tan_fovy),
               self.camera.height / 2],
              [0, 0, 1]], np.float32)
+        dt = _DT.from_host(self.tpl)
+
+        kp_t = kp_w = None
+        if self.kit.keypoints is not None:
+            kp_t, kp_w = coco133_body_targets(self.kit.keypoints,
+                                              self.kit.keypoint_scores)
+            beta_mask = np.zeros(nb, np.float32)
+            beta_mask[0] = 1.0
+            if self.tpl.n_bone_betas:
+                beta_mask[-self.tpl.n_bone_betas:] = 1.0
+            res_a = fit_skeleton(
+                dt, K, init, kp_t, kp_w,
+                SkeletonFitConfig(steps=int(self.cfg.tpu.get(
+                    "skeleton_fit_steps", 500))),
+                beta_mask=beta_mask)
+            print(f"[fit_synthetic] keypoint px err "
+                  f"{res_a['px_err'][0]:.2f} -> {res_a['px_err'][-1]:.2f}",
+                  flush=True)
+            init = {k: res_a[k] for k in init}
+        else:
+            print("[fit_synthetic] no keypoints_coco133 in kit; "
+                  "silhouette-only fit", flush=True)
+
         cfg = RefineConfig(
-            steps=int(self.cfg.tpu.get("synthetic_fit_steps", 150)),
-            lr=0.02, render_downscale=d, w_keypoints=0.0, w_prior=0.02,
-            optimize_betas=True)
+            steps=int(self.cfg.tpu.get("synthetic_fit_steps", 300)),
+            lr=0.01, render_downscale=d,
+            w_keypoints=0.5 if kp_t is not None else 0.0,
+            w_prior=0.05, optimize_betas=True)
         res = refine_smpl(
-            _DT.from_host(self.tpl), self.camera, K, init, self.kit.masks,
+            dt, self.camera, K, init, self.kit.masks,
+            keypoints2d=kp_t, keypoint_valid=kp_w,
             cfg=cfg, raster_kw=self.raster_kw
             if hasattr(self, "raster_kw") else None)
         print(f"[fit_synthetic] silhouette loss "

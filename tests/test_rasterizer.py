@@ -199,3 +199,25 @@ def test_finite_difference_gradients():
             ok += 1
     assert total >= 4
     assert ok >= int(0.7 * total), (ok, total, g)
+
+
+@pytest.mark.parametrize("tile", [8, 32])
+def test_nondefault_tile_matches_reference(tile):
+    """The tile size must thread through preprocess + binning + kernels.
+
+    The dense reference applies the CUDA 3-sigma rect cull at the SAME
+    tile granularity; with mismatched granularities the images differ
+    legitimately (pixels at ~3.26 sigma where alpha >= 1/255 fall
+    outside the finer rect — exactly like real CUDA at that tile size).
+    Regression for the round-2 advisor finding: rasterize() used to
+    preprocess at tile=16 regardless of the tile argument.
+    """
+    cam, means, scales, quats, opac, feats, bg = make_scene()
+    from sings_tpu.ops.rasterizer.common import preprocess
+    from sings_tpu.ops.rasterizer.reference import composite_dense
+
+    g2d = preprocess(means, scales, quats, opac, feats, cam, tile=tile)
+    img, _ = composite_dense(g2d, cam.height, cam.width, bg, tile=tile)
+    pal = rasterize(means, scales, quats, opac, feats, cam, bg=bg,
+                    tile=tile, chunk=8, max_span=8, interpret=True)
+    assert jnp.abs(pal["render"] - img).max() < 2e-4

@@ -1,0 +1,122 @@
+"""Synthetic-template bone-proportion dims + keypoint skeleton fit."""
+import jax.numpy as jnp
+import numpy as np
+
+from sings_tpu.kinematics.body_model import (_BONE_GROUPS,
+                                             subdivide_template,
+                                             synthetic_template)
+from sings_tpu.kinematics.lbs import blend_shapes, vertices2joints
+from sings_tpu.kinematics.template import DeviceTemplate
+from sings_tpu.preprocess.refine import (SkeletonFitConfig,
+                                         coco133_body_targets,
+                                         fit_skeleton, posed_smpl_joints)
+
+N_BONE = len(_BONE_GROUPS) + 1
+
+
+def _joints(tpl, betas):
+    v = tpl.v_template[None] + np.asarray(
+        blend_shapes(jnp.asarray(betas)[None], jnp.asarray(tpl.shapedirs)))
+    return np.asarray(vertices2joints(
+        jnp.asarray(tpl.j_regressor), jnp.asarray(v)))[0]
+
+
+def test_bone_betas_move_expected_joints():
+    tpl = synthetic_template(num_betas=4, n_seg=5, n_ring=8,
+                             n_bone_betas=N_BONE)
+    assert tpl.num_betas == 4 + N_BONE
+    assert tpl.n_bone_betas == N_BONE
+
+    j0 = _joints(tpl, np.zeros(tpl.num_betas))
+    b = np.zeros(tpl.num_betas, np.float32)
+    b[4] = 1.0  # torso group
+    j1 = _joints(tpl, b)
+    # head (15) moves up with the torso stretch; pelvis (0) stays
+    assert j1[15, 1] - j0[15, 1] > 0.05
+    assert np.abs(j1[0] - j0[0]).max() < 0.02
+    # legs unaffected by torso stretch
+    assert np.abs(j1[4] - j0[4]).max() < 0.02
+
+    b = np.zeros(tpl.num_betas, np.float32)
+    b[4 + 6] = 1.0  # thighs group -> knees (4, 5) drop, hips stay
+    j2 = _joints(tpl, b)
+    assert j0[4, 1] - j2[4, 1] > 0.03
+    assert j0[5, 1] - j2[5, 1] > 0.03
+    assert np.abs(j2[1] - j0[1]).max() < 0.02
+    # ankles follow the knees (downstream translation)
+    assert j0[7, 1] - j2[7, 1] > 0.03
+
+    # hip width (last column): hips move apart in x
+    b = np.zeros(tpl.num_betas, np.float32)
+    b[-1] = 1.0
+    j3 = _joints(tpl, b)
+    assert (j3[1, 0] - j3[2, 0]) - (j0[1, 0] - j0[2, 0]) > 0.05
+
+
+def test_bone_betas_exact_under_subdivision():
+    tpl = synthetic_template(num_betas=4, n_seg=4, n_ring=6,
+                             n_bone_betas=N_BONE)
+    sub = subdivide_template(tpl, 1, smooth=False)
+    assert sub.num_betas == tpl.num_betas
+    assert sub.n_bone_betas == N_BONE
+    b = np.zeros(tpl.num_betas, np.float32)
+    b[4] = 0.7
+    b[-1] = -0.3
+    # joints regressed from the subdivided template match the base ones
+    j_base = _joints(tpl, b)
+    j_sub = _joints(sub, b)
+    assert np.abs(j_base - j_sub).max() < 0.02
+
+
+def test_coco133_body_targets():
+    f = 3
+    kp = np.random.rand(f, 133, 2).astype(np.float32) * 100
+    scores = np.full((f, 133), 0.9, np.float32)
+    scores[0, 11] = 0.5  # low-confidence left hip on frame 0
+    t, w = coco133_body_targets(kp, scores)
+    assert t.shape == (f, 24, 2) and w.shape == (f, 24)
+    assert w[0, 1] == 0.0 and w[1, 1] > 0.0
+    assert np.allclose(t[1, 1], kp[1, 11])
+    # head anchored at ear midpoint
+    assert np.allclose(t[2, 15], 0.5 * (kp[2, 3] + kp[2, 4]))
+    assert w.max() <= 1.0
+
+
+def test_fit_skeleton_recovers_bone_lengths():
+    tpl = synthetic_template(num_betas=4, n_seg=4, n_ring=6,
+                             n_bone_betas=N_BONE)
+    dt = DeviceTemplate.from_host(tpl)
+    f = 4
+    rng = np.random.RandomState(0)
+    true = {
+        "betas": np.zeros(tpl.num_betas, np.float32),
+        "global_orient": np.zeros((f, 3), np.float32),
+        "body_pose": (0.05 * rng.randn(f, 69)).astype(np.float32),
+        "transl": np.tile(np.array([[0.0, 0.3, 8.0]], np.float32), (f, 1)),
+    }
+    true["betas"][4] = 1.2   # longer torso
+    true["betas"][4 + 6] = -0.8  # shorter thighs
+
+    K = np.array([[1000.0, 0, 128], [0, 1000.0, 224], [0, 0, 1]],
+                 np.float32)
+    joints = np.asarray(posed_smpl_joints(
+        dt, {k: jnp.asarray(v) for k, v in true.items()}))
+    uvw = joints @ K.T
+    targets = (uvw[..., :2] / uvw[..., 2:]).astype(np.float32)
+    weights = np.ones((f, 24), np.float32)
+
+    init = dict(true)
+    init["betas"] = np.zeros(tpl.num_betas, np.float32)
+    beta_mask = np.zeros(tpl.num_betas, np.float32)
+    beta_mask[0] = 1.0
+    beta_mask[-N_BONE:] = 1.0
+    res = fit_skeleton(dt, K, init, targets, weights,
+                       SkeletonFitConfig(steps=300, lr=0.03,
+                                         w_pose_prior=10.0),
+                       beta_mask=beta_mask)
+    assert res["px_err"][-1] < 0.2 * res["px_err"][0]
+    # frozen dims untouched
+    assert np.all(res["betas"][1:4] == 0.0)
+    # recovered proportions point the right way
+    assert res["betas"][4] > 0.4
+    assert res["betas"][4 + 6] < -0.25
