@@ -306,53 +306,57 @@ def refine_smpl(
     use_sil = cfg.w_silhouette > 0.0
     use_kp = kp is not None and cfg.w_keypoints > 0.0
 
-    def frame_loss(params, i):
+    def sil_loss(params, i):
         out = smpl_forward(
             template, params["betas"].reshape(1, -1),
             params["body_pose"][i].reshape(1, -1),
             params["global_orient"][i].reshape(1, 3),
             disable_posedirs=template.posedirs is None,
         )
-        # zero-weight terms are dropped at TRACE time: XLA cannot fold
-        # 0 * x (0 * inf = nan), so a disabled silhouette term would
-        # still run the rasterizer AND propagate any non-finite
-        # backward values into the other terms' gradients
-        l = 0.0
-        if use_sil:
-            verts = out.verts[0] + params["transl"][i][None]
-            sil = _silhouette(verts, cam_lr, cfg, raster_kw)
-            l = l + cfg.w_silhouette * jnp.mean((sil - masks_d[i]) ** 2)
-        if use_kp:
-            joints = out.joints[0] + params["transl"][i][None]
-            uv = project_points(joints[:24], Kj)[:, :2]
-            # robust (huber, 10px) weighted reprojection — same loss as
-            # fit_skeleton so the silhouette term can't drag the
-            # skeleton off the keypoint anchors
-            e = jnp.sqrt(jnp.sum((uv - kp[i]) ** 2, axis=-1) + 1e-8)
-            d = 10.0
-            hub = jnp.where(e <= d, 0.5 * e * e / d, e - 0.5 * d)
-            if kp_valid is not None:
-                l_kp = (hub * kp_valid[i]).sum() / jnp.maximum(
-                    kp_valid[i].sum(), 1.0)
-            else:
-                l_kp = hub.mean()
-            l = l + cfg.w_keypoints * l_kp
-
-        l_prior = sum(
-            jnp.mean((params[k] - prior[k]) ** 2)
-            for k in ("body_pose", "global_orient", "transl"))
-        return l + cfg.w_prior * l_prior
+        verts = out.verts[0] + params["transl"][i][None]
+        sil = _silhouette(verts, cam_lr, cfg, raster_kw)
+        return jnp.mean((sil - masks_d[i]) ** 2)
 
     nb = min(cfg.batch_frames, f)
 
     def total_loss(params, step_i):
-        # deterministic round-robin frame batches: every frame's
-        # per-frame params get gradient at the same rate (random
-        # subsets left rarely-sampled frames coasting on stale Adam
-        # momentum between visits)
-        idx = (step_i * nb + jnp.arange(nb)) % f
-        losses = jax.vmap(lambda i: frame_loss(params, i))(idx)
-        return losses.mean()
+        # Zero-weight terms are dropped at TRACE time: XLA cannot fold
+        # 0 * x (0 * inf = nan), so a disabled silhouette term would
+        # still run the rasterizer AND propagate any non-finite
+        # backward values into the other terms' gradients.
+        l = 0.0
+        if use_kp:
+            # keypoints + prior over ALL frames every step (joints-only
+            # forward, no rendering — cheap). Minibatching these
+            # DIVERGED under Adam: per-frame params visited every
+            # f/batch steps coast on stale momentum in between, and the
+            # walk increased the keypoint loss 13x at the bundled-kit
+            # scale. Same robust huber as fit_skeleton.
+            joints = posed_smpl_joints(template, params)  # (F, 24, 3)
+            uvw = jnp.einsum("fjc,kc->fjk", joints, Kj)
+            z = jnp.where(jnp.abs(uvw[..., 2:]) < 1e-9, 1e-9,
+                          uvw[..., 2:])
+            uv = uvw[..., :2] / z
+            e = jnp.sqrt(jnp.sum((uv - kp) ** 2, axis=-1) + 1e-8)
+            d = 10.0
+            hub = jnp.where(e <= d, 0.5 * e * e / d, e - 0.5 * d)
+            if kp_valid is not None:
+                l_kp = (hub * kp_valid).sum() / jnp.maximum(
+                    kp_valid.sum(), 1.0)
+            else:
+                l_kp = hub.mean()
+            l = l + cfg.w_keypoints * l_kp
+        if use_sil:
+            # silhouettes on a deterministic round-robin frame batch
+            # (memory bound: each vmapped frame holds its own binning
+            # buffers)
+            idx = (step_i * nb + jnp.arange(nb)) % f
+            sils = jax.vmap(lambda i: sil_loss(params, i))(idx)
+            l = l + cfg.w_silhouette * sils.mean()
+        l_prior = sum(
+            jnp.mean((params[k] - prior[k]) ** 2)
+            for k in ("body_pose", "global_orient", "transl"))
+        return l + cfg.w_prior * l_prior
 
     tx = optax.adam(cfg.lr)
     if not cfg.optimize_betas:

