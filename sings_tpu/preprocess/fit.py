@@ -203,3 +203,27 @@ def main(argv=None):
     args = ap.parse_args(argv)
     print(json.dumps(validate_kit(args.kit_dir,
                                   skip_first=args.skip_first)))
+
+
+def patch_phalp_smpl_cache(smpl_pkl: str, cache_dir: str | None = None):
+    """Copy a local SMPL pkl into PHALP's model cache.
+
+    Port of the reference's preprocess/patches/fix_phalp_smpl.py:1-15:
+    when PHALP (inside ScoreHMR) cannot download SMPL_NEUTRAL.pkl, the
+    fix is copying an existing local copy into its cache layout. The
+    cache root defaults to phalp.configs.base.CACHE_DIR when the
+    (external) package is importable, else ~/.cache.
+    """
+    import shutil
+
+    if cache_dir is None:
+        try:
+            from phalp.configs.base import CACHE_DIR  # external dep
+
+            cache_dir = CACHE_DIR
+        except Exception:
+            cache_dir = os.path.expanduser("~/.cache")
+    tgt = os.path.join(cache_dir, "phalp/3D/models/smpl/SMPL_NEUTRAL.pkl")
+    os.makedirs(os.path.dirname(tgt), exist_ok=True)
+    shutil.copy(smpl_pkl, tgt)
+    return tgt

@@ -89,3 +89,14 @@ def test_validate_kit_pose_frame_shortfall(tmp_path):
 def test_bundled_reference_kit_validates():
     info = validate_kit(REF_KIT)
     assert info["num_frames"] > 0
+
+
+def test_patch_phalp_smpl_cache(tmp_path):
+    """Port of preprocess/patches/fix_phalp_smpl.py:1-15."""
+    from sings_tpu.preprocess.fit import patch_phalp_smpl_cache
+
+    src = tmp_path / "SMPL_NEUTRAL.pkl"
+    src.write_bytes(b"pkl")
+    tgt = patch_phalp_smpl_cache(str(src), cache_dir=str(tmp_path / "c"))
+    assert open(tgt, "rb").read() == b"pkl"
+    assert tgt.endswith("phalp/3D/models/smpl/SMPL_NEUTRAL.pkl")

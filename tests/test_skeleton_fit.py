@@ -120,3 +120,49 @@ def test_fit_skeleton_recovers_bone_lengths():
     # recovered proportions point the right way
     assert res["betas"][4] > 0.4
     assert res["betas"][4 + 6] < -0.25
+
+
+def test_refine_smpl_keeps_converged_keypoints():
+    """Regression: stage B must not walk away from a converged stage-A
+    start (the minibatched keypoint term diverged under Adam on the
+    bundled kit: loss 0.57 -> 7.7 over 200 steps)."""
+    from sings_tpu.preprocess.refine import RefineConfig, refine_smpl
+
+    tpl = synthetic_template(num_betas=4, n_seg=4, n_ring=6,
+                             n_bone_betas=N_BONE)
+    dt = DeviceTemplate.from_host(tpl)
+    f = 6
+    rng = np.random.RandomState(1)
+    true = {
+        "betas": np.zeros(tpl.num_betas, np.float32),
+        "global_orient": np.zeros((f, 3), np.float32),
+        "body_pose": (0.05 * rng.randn(f, 69)).astype(np.float32),
+        "transl": np.tile(np.array([[0.0, 0.3, 8.0]], np.float32),
+                          (f, 1)),
+    }
+    K = np.array([[1000.0, 0, 64], [0, 1000.0, 64], [0, 0, 1]],
+                 np.float32)
+    joints = np.asarray(posed_smpl_joints(
+        dt, {k: jnp.asarray(v) for k, v in true.items()}))
+    uvw = joints @ K.T
+    targets = (uvw[..., :2] / uvw[..., 2:]).astype(np.float32)
+    weights = np.ones((f, 24), np.float32)
+
+    from sings_tpu.ops.graphics import make_camera
+    cam = make_camera(np.eye(4, dtype=np.float32), 128, 128, K=K)
+    masks = np.zeros((f, 128, 128), np.float32)
+    kw = dict(tile=16, chunk=8, max_span=8, interpret=True)
+    # kp-only (w_silhouette=0 exercises the trace-time gate too),
+    # minibatched frames, starting AT the optimum
+    cfg = RefineConfig(steps=60, lr=0.01, render_downscale=1,
+                       w_silhouette=0.0, w_keypoints=1.0, w_prior=0.01,
+                       batch_frames=2, optimize_betas=True)
+    res = refine_smpl(dt, cam, K, true, masks, keypoints2d=targets,
+                      keypoint_valid=weights, cfg=cfg, raster_kw=kw)
+    j2 = np.asarray(posed_smpl_joints(
+        dt, {k: jnp.asarray(res[k]) for k in true}))
+    uv2 = (j2 @ K.T)
+    uv2 = uv2[..., :2] / uv2[..., 2:]
+    px = np.sqrt(((uv2 - targets) ** 2).sum(-1)).mean()
+    assert px < 1.0, px
+    assert res["losses"][-1] <= res["losses"][0] + 1e-3
