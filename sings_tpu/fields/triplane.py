@@ -9,16 +9,25 @@ planes within a scale; concatenation over scales.
 Parameters are a plain pytree {"grids": [[plane_xy, plane_xz, plane_yz],
 ...]} so optax param labeling stays trivial. Gradients flow to both the
 grids and the query coordinates (the gaussian centers are trainable).
+
+The default path fuses the BACKWARD of all planes: the per-plane
+sorted-segment grid-gradient reduction (ops/sampling.py::_sample_bwd)
+runs once over all 3*len(multires) planes with a combined cell key —
+one sort + one blocked-cumsum + one searchsorted instead of nine, the
+same numerics (see tests/test_triplane.py fused-equivalence tests).
 """
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import grid_sample_2d
+from ..ops.sampling import (
+    _corner_coords, _corner_table, _cumsum_rows, _weights, grid_sample_2d,
+)
 
 
 class TriplaneConfig(NamedTuple):
@@ -65,14 +74,134 @@ def normalize_aabb(pts: jax.Array, bounds: float) -> jax.Array:
 
 
 def triplane_features(params: dict, pts: jax.Array,
-                      cfg: TriplaneConfig) -> jax.Array:
+                      cfg: TriplaneConfig, *,
+                      fused: bool = True) -> jax.Array:
     """(N, 3) points -> (N, feat_dim) features."""
     q = normalize_aabb(pts, cfg.bounds)
+    grids = params["grids"]
+    if fused and all(p.shape[1] >= 2 and p.shape[2] >= 2
+                     for planes in grids for p in planes):
+        meta = tuple(
+            (a, b, p.shape[1], p.shape[2])
+            for planes in grids
+            for p, (a, b) in zip(planes, COO_COMBS))
+        flat = tuple(p for planes in grids for p in planes)
+        return _triplane_fused(meta, flat, q)
     outs = []
-    for planes in params["grids"]:
+    for planes in grids:
         interp = 1.0
         for plane, (a, b) in zip(planes, COO_COMBS):
             coords = q[:, (a, b)]  # x indexes W (axis a), y indexes H (axis b)
             interp = interp * grid_sample_2d(plane, coords)
         outs.append(interp)
     return jnp.concatenate(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# fused path: one multi-plane custom VJP
+# meta: static tuple of (axis_a, axis_b, H, W) per plane, scale-major
+# (len = 3 * len(multires)); grids: flat tuple of (C, H, W) planes.
+
+
+def _fused_samples(meta, grids, q):
+    """Per-plane bilinear samples, (P, N, C), plus corner residues."""
+    samples = []
+    for plane, (a, b, h, w) in zip(grids, meta):
+        coords = q[:, (a, b)]
+        c = plane.shape[0]
+        x0i, y0i, tx, ty = _corner_coords(coords, h, w)
+        g4 = _corner_table(plane)
+        v = g4[y0i * (w - 1) + x0i].reshape(-1, 4, c)
+        samples.append(jnp.einsum("nkc,nk->nc", v, _weights(tx, ty)))
+    return samples
+
+
+def _fused_out(meta, samples):
+    outs = []
+    for s in range(len(meta) // 3):
+        outs.append(samples[3 * s] * samples[3 * s + 1] * samples[3 * s + 2])
+    return jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _triplane_fused(meta, grids, q):
+    return _fused_out(meta, _fused_samples(meta, grids, q))
+
+
+def _triplane_fused_fwd(meta, grids, q):
+    samples = _fused_samples(meta, grids, q)
+    return _fused_out(meta, samples), (grids, q, samples)
+
+
+def _triplane_fused_bwd(meta, res, gout):
+    grids, q, samples = res
+    n = q.shape[0]
+    c = grids[0].shape[0]
+    nplanes = len(meta)
+
+    # product rule: per-plane sample cotangents from the per-scale
+    # Hadamard product (hexplane.py:97-101)
+    gouts = []
+    for s in range(nplanes // 3):
+        g_s = gout[:, s * c:(s + 1) * c]
+        v0, v1, v2 = samples[3 * s], samples[3 * s + 1], samples[3 * s + 2]
+        gouts += [g_s * v1 * v2, g_s * v0 * v2, g_s * v0 * v1]
+
+    # ---- coordinate gradient: autodiff through each plane's weight
+    # path (integer corner indices are piecewise constant) — identical
+    # per-plane math to ops/sampling.py::_sample_bwd
+    dq = jnp.zeros_like(q)
+    cells = []
+    wvs = []
+    for i, (plane, (a, b, h, w)) in enumerate(zip(grids, meta)):
+        coords = q[:, (a, b)]
+        x0i, y0i, tx, ty = _corner_coords(coords, h, w)
+        cells.append(y0i * (w - 1) + x0i)
+        g4 = _corner_table(plane)
+        v = g4[cells[i]].reshape(n, 4, c)
+
+        def weight_path(coords, v=v, h=h, w=w):
+            _, _, tx, ty = _corner_coords(coords, h, w)
+            return jnp.einsum("nkc,nk->nc", v, _weights(tx, ty))
+
+        _, pullback = jax.vjp(weight_path, coords)
+        (d_coords,) = pullback(gouts[i])
+        dq = dq.at[:, a].add(d_coords[:, 0]).at[:, b].add(d_coords[:, 1])
+        wvs.append((_weights(tx, ty)[:, :, None]
+                    * gouts[i][:, None, :]).reshape(n, 4 * c))
+
+    # ---- grid gradients: ONE sorted segment reduction over all planes
+    # (combined key = plane cell base + cell), replacing nplanes
+    # independent sort/cumsum/searchsorted pipelines
+    bases = [0]
+    for (_, _, h, w) in meta:
+        bases.append(bases[-1] + (h - 1) * (w - 1))
+    total_cells = bases[-1]
+    key = jnp.concatenate(
+        [cell + jnp.int32(base) for cell, base in zip(cells, bases)])
+    wv = jnp.concatenate(wvs, axis=0)  # (P*N, 4C)
+    skey, order = jax.lax.sort_key_val(
+        key, jnp.arange(nplanes * n, dtype=jnp.int32))
+    csum = _cumsum_rows(wv[order])
+    csum = jnp.concatenate([jnp.zeros((1, 4 * c), csum.dtype), csum], 0)
+    ends = jnp.searchsorted(
+        skey, jnp.arange(1, total_cells + 1, dtype=jnp.int32), side="left",
+        method="sort").astype(jnp.int32)
+    gathered = csum[ends]
+    cellsum = gathered - jnp.concatenate(
+        [jnp.zeros((1, 4 * c), gathered.dtype), gathered[:-1]], 0)
+
+    dgrids = []
+    for plane, (a, b, h, w), base in zip(grids, meta, bases):
+        g4grad = cellsum[base:base + (h - 1) * (w - 1)].reshape(
+            h - 1, w - 1, 4, c)
+        gg = jnp.zeros((h, w, c), gout.dtype)
+        gg = gg.at[:-1, :-1].add(g4grad[:, :, 0])
+        gg = gg.at[:-1, 1:].add(g4grad[:, :, 1])
+        gg = gg.at[1:, :-1].add(g4grad[:, :, 2])
+        gg = gg.at[1:, 1:].add(g4grad[:, :, 3])
+        dgrids.append(gg.transpose(2, 0, 1))
+    return tuple(dgrids), dq
+
+
+_triplane_fused.defvjp(_triplane_fused_fwd, _triplane_fused_bwd)

@@ -34,6 +34,36 @@ def test_triplane_shapes_and_grads():
     assert float(jnp.abs(g_params["grids"][0][0]).sum()) > 0
 
 
+def test_triplane_fused_matches_unfused():
+    """The fused multi-plane custom VJP must match the per-plane
+    composition (value and grads to grids AND coords)."""
+    cfg = TriplaneConfig(resolution=(16, 12, 8), out_dim=8, multires=(1, 2))
+    params = init_triplane(jax.random.PRNGKey(2), cfg)
+    pts = jnp.asarray(np.random.RandomState(1).uniform(-1.1, 1.1, (73, 3))
+                      .astype(np.float32))  # incl. out-of-bounds (border)
+    f_fused = triplane_features(params, pts, cfg, fused=True)
+    f_ref = triplane_features(params, pts, cfg, fused=False)
+    np.testing.assert_allclose(np.asarray(f_fused), np.asarray(f_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    cot = jnp.asarray(np.random.RandomState(2).normal(
+        size=f_ref.shape).astype(np.float32))
+
+    def loss(p, x, fused):
+        return jnp.sum(triplane_features(p, x, cfg, fused=fused) * cot)
+
+    gp_f, gx_f = jax.grad(loss, argnums=(0, 1))(params, pts, True)
+    gp_r, gx_r = jax.grad(loss, argnums=(0, 1))(params, pts, False)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-5, atol=1e-5)
+    for s in range(len(cfg.multires)):
+        for p in range(3):
+            np.testing.assert_allclose(
+                np.asarray(gp_f["grids"][s][p]),
+                np.asarray(gp_r["grids"][s][p]), rtol=1e-5, atol=1e-5,
+                err_msg=f"grid grad mismatch at scale {s} plane {p}")
+
+
 def test_triplane_is_smooth_interpolation():
     cfg = TriplaneConfig(resolution=(8, 8, 8), out_dim=4, multires=(1,))
     params = init_triplane(jax.random.PRNGKey(1), cfg)
