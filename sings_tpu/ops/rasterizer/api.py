@@ -33,6 +33,7 @@ class RasterConfig(NamedTuple):
     main_width: int = 6
     tail_capacity: int | None = None
     cull: bool = True
+    pair_cap: int | None = None
     # tile-major <-> image relayout backend: "xla" transposes (default;
     # the "pallas" kernels in relayout.py fail Mosaic lowering — the
     # (1,256)->(16,16) lane-split reshape is an unsupported shape cast)
@@ -80,7 +81,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
         g2d, tile=cfg.tile, n_tiles_x=ntx, n_tiles_y=nty,
         max_span=cfg.max_span, align=cfg.chunk, max_pairs=cfg.max_pairs,
         main_width=cfg.main_width, tail_capacity=cfg.tail_capacity,
-        cull=cfg.cull,
+        cull=cfg.cull, pair_cap=cfg.pair_cap,
     )
     feats, valid = _gather_feats(binning, means2d, conics, colors,
                                  opacities, cfg.chunk)
@@ -194,6 +195,7 @@ def rasterize(
     main_width: int = 6,
     tail_capacity: int | None = None,
     cull: bool = True,
+    pair_cap: int | None = None,
     relayout: str = "xla",
     interpret: bool = False,
 ) -> dict:
@@ -235,8 +237,8 @@ def rasterize(
         cfg = RasterConfig(
             height=camera.height, width=camera.width, tile=tile, chunk=chunk,
             max_span=max_span, max_pairs=max_pairs, main_width=main_width,
-            tail_capacity=tail_capacity, cull=cull, relayout=relayout,
-            interpret=interpret,
+            tail_capacity=tail_capacity, cull=cull, pair_cap=pair_cap,
+            relayout=relayout, interpret=interpret,
         )
         color, t_final = _composite_tiled(
             cfg, means2d, g2d.conics, g2d.colors, g2d.opacities, g2d.depths,

@@ -107,6 +107,7 @@ def bin_gaussians(
     main_width: int = 6,
     tail_capacity: int | None = None,
     cull: bool = True,
+    pair_cap: int | None = None,
 ) -> TileBinning:
     """Build depth-ordered, tile-grouped pair lists (see module doc).
 
@@ -119,6 +120,14 @@ def bin_gaussians(
     tail_capacity: static row budget for gaussians spanning more than
         main_width tiles (default N // 16, aligned); overfull tails lose only
         their gradient contributions and are counted in `overflow`.
+    pair_cap: per-gaussian budget of SURVIVING pairs after the exact
+        cull. When set, each gaussian's culled pairs are compacted out
+        of its enumeration row (a 9-wide row-wise argsort — cheap) and
+        only the first pair_cap survivors are kept, shrinking BOTH
+        global pair sorts from N*max_span^2 to N*pair_cap rows. Exact
+        (bit-identical image and grads) whenever no gaussian has more
+        than pair_cap surviving tiles; excess survivors are dropped
+        brightest-rect-first-row order and counted in `overflow`.
     """
     n = g.means2d.shape[0]
     n_tiles = n_tiles_x * n_tiles_y
@@ -194,6 +203,27 @@ def bin_gaussians(
         reach = q_min <= jnp.log(
             jnp.maximum(g.opacities[:, None], 1e-12) * 255.0)
         valid = valid & reach
+
+    if pair_cap is not None and pair_cap < cap:
+        # row-compact survivors to a prefix, keep the first pair_cap.
+        # The 9-wide row argsort is a tiny vectorized bitonic network;
+        # it buys a 1 - pair_cap/cap cut of BOTH global pair sorts.
+        skey = jnp.where(valid, j[None, :], cap + j[None, :])
+        sidx = jnp.argsort(skey, axis=1)[:, :pair_cap].astype(jnp.int32)
+        nvalid = jnp.sum(valid, axis=1).astype(jnp.int32)
+        overflow = overflow + jnp.sum(jnp.maximum(nvalid - pair_cap, 0))
+        dx = jnp.take_along_axis(dx, sidx, 1)
+        dy = jnp.take_along_axis(dy, sidx, 1)
+        tile_id = (y0c[:, None] + dy) * n_tiles_x + (x0c[:, None] + dx)
+        cap = pair_cap
+        j = jnp.arange(cap, dtype=jnp.int32)
+        span = jnp.minimum(nvalid, cap)
+        valid = j[None, :] < span[:, None]
+    elif cull:
+        # culled mid-prefix pairs keep their enumeration slot; the glue
+        # span must still bound the last VALID j (prefix property holds
+        # only without culling)
+        span = jnp.where(valid, j[None, :] + 1, 0).max(axis=1)
 
     assert n_tiles * n < 2**31 - 1, "int32 sort key overflow"
     key = jnp.where(valid, tile_id * n + rank[:, None], INVALID).reshape(-1)
