@@ -99,6 +99,19 @@ class SkeletonFitConfig(NamedTuple):
     lr: float = 0.02
     huber_px: float = 10.0        # robust width of the reprojection loss
     w_pose_prior: float = 1.0     # rad^2 toward the kit's initial poses
+    # Strong separate prior on global_orient: 2D keypoints cannot
+    # disambiguate depth (a pitched body + stretched bones reprojects
+    # like an upright one) or front/back on profile frames (a 180-deg
+    # flip of a near-symmetric skeleton), and the round-3 quality run
+    # proved the fit exploits BOTH per frame (65-deg pitch swings,
+    # scattered yaw flips -> canonical texture smeared, masked PSNR
+    # plateau at 12). The kit's ScoreHMR orientations are 3D-aware —
+    # trust them, let only transl/scale/bones (which carry the 110 px
+    # initial misalignment) move freely. Swept on the bundled kit:
+    # w=60 -> px 0.84, orient dev mean 14.7/max 73 deg;
+    # w=600 -> px 0.76, dev mean 2.0/max 11.3 (keypoints and ScoreHMR
+    # AGREE — the deviations were optimizer wandering, not data).
+    w_orient_prior: float = 600.0
     w_beta_prior: float = 0.05
     w_temporal: float = 10.0      # adjacent-frame pose/transl smoothness
     optimize_betas: bool = True
@@ -178,15 +191,15 @@ def fit_skeleton(
         hub = jnp.where(e <= d, 0.5 * e * e / d, e - 0.5 * d)
         px_err = (e * kp_w).sum() / jnp.maximum(kp_w.sum(), 1.0)
         l_kp = (hub * kp_w).sum() / jnp.maximum(kp_w.sum(), 1.0)
-        l_prior = (
-            jnp.mean((params["body_pose"] - prior["body_pose"]) ** 2)
-            + jnp.mean((params["global_orient"]
-                        - prior["global_orient"]) ** 2))
+        l_prior = jnp.mean((params["body_pose"] - prior["body_pose"]) ** 2)
+        l_orient = jnp.mean(
+            (params["global_orient"] - prior["global_orient"]) ** 2)
         l_beta = jnp.mean(params["betas"] ** 2)
         l_temp = sum(
             jnp.mean(jnp.diff(params[k], axis=0) ** 2)
             for k in ("body_pose", "global_orient", "transl"))
         total = (l_kp + cfg.w_pose_prior * l_prior
+                 + cfg.w_orient_prior * l_orient
                  + cfg.w_beta_prior * l_beta + cfg.w_temporal * l_temp)
         return total, px_err
 
@@ -223,6 +236,7 @@ class RefineConfig(NamedTuple):
     w_silhouette: float = 1.0
     w_keypoints: float = 1e-4
     w_prior: float = 0.1          # stay close to the initial estimate
+    w_orient_prior: float = 60.0  # see SkeletonFitConfig.w_orient_prior
     splat_scale: float = 0.02     # silhouette splat size (m)
     splat_opacity: float = 0.7
     optimize_betas: bool = False
@@ -355,8 +369,10 @@ def refine_smpl(
             l = l + cfg.w_silhouette * sils.mean()
         l_prior = sum(
             jnp.mean((params[k] - prior[k]) ** 2)
-            for k in ("body_pose", "global_orient", "transl"))
-        return l + cfg.w_prior * l_prior
+            for k in ("body_pose", "transl"))
+        l_orient = jnp.mean(
+            (params["global_orient"] - prior["global_orient"]) ** 2)
+        return l + cfg.w_prior * l_prior + cfg.w_orient_prior * l_orient
 
     tx = optax.adam(cfg.lr)
     if not cfg.optimize_betas:
