@@ -148,6 +148,9 @@ DEFAULTS = {
             "max_pairs": None,
             "main_width": 4,       # backward-glue prefix table width
             "tail_capacity": None,  # wide-gaussian tail rows (None: N//4)
+            # per-gaussian surviving-pair budget (tiles.py pair_cap);
+            # None = full max_span^2 enumeration
+            "pair_cap": None,
         },
         "capacity_margin": 1.25,   # slot headroom over current gaussians
         "inner_steps": 8,          # train steps fused per dispatch (lax.scan)

@@ -63,6 +63,7 @@ def default_raster_kw(cfg, height, width):
         max_pairs=cfg.tpu.raster.max_pairs,
         main_width=cfg.tpu.raster.main_width,
         tail_capacity=cfg.tpu.raster.tail_capacity,
+        pair_cap=cfg.tpu.raster.get("pair_cap"),
     )
     if jax.default_backend() != "tpu":
         kw.update(chunk=8, interpret=True)
