@@ -66,6 +66,9 @@ t("triplane fwd+bwd (old)",
   jax.grad(lambda p, q: feats_old(p, q).sum(), argnums=(0, 1)), params, pts)
 t("triplane fwd (new)",
   lambda p: triplane_features(p, pts, cfg).sum(), params)
-t("triplane fwd+bwd (new)",
-  jax.grad(lambda p, q: triplane_features(p, q, cfg).sum(),
+t("triplane fwd+bwd (new, unfused)",
+  jax.grad(lambda p, q: triplane_features(p, q, cfg, fused=False).sum(),
+           argnums=(0, 1)), params, pts)
+t("triplane fwd+bwd (new, fused)",
+  jax.grad(lambda p, q: triplane_features(p, q, cfg, fused=True).sum(),
            argnums=(0, 1)), params, pts)

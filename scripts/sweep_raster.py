@@ -48,3 +48,20 @@ run("mp=163840 mw=4", tile=16, chunk=128, max_span=3, max_pairs=163840,
     main_width=4)
 run("mp=163840 mw=5", tile=16, chunk=128, max_span=3, max_pairs=163840,
     main_width=5)
+for pc in (7, 6, 5):
+    run(f"pair_cap={pc} mp=262144 mw=4", tile=16, chunk=128, max_span=3,
+        max_pairs=262144, main_width=4, pair_cap=pc)
+
+# pair_cap overflow accounting at the bench scene (exactness check:
+# pair_cap is bit-exact iff it adds zero overflow over the baseline)
+from sings_tpu.ops.rasterizer.common import preprocess
+from sings_tpu.ops.rasterizer.tiles import bin_gaussians
+
+g2d = jax.jit(lambda m, s, o, f: preprocess(
+    m, s, quats, o, f, cam, sh_degree=3))(means, scales, opac, shs)
+for pc in (None, 7, 6, 5, 4):
+    b = jax.jit(lambda g, pc=pc: bin_gaussians(
+        g, tile=16, n_tiles_x=32, n_tiles_y=32, max_span=3, align=128,
+        max_pairs=262144, main_width=4, pair_cap=pc))(g2d)
+    print(f"pair_cap={pc}: pairs={int(b.num_pairs)} "
+          f"overflow={int(b.overflow)}", flush=True)

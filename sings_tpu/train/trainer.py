@@ -808,6 +808,21 @@ class Trainer:
         camera = camera or self.camera
         bg = self.bg_color * 0 if bg is None else bg
         fn = self._eval_render_fn(camera)
+        if data.get("global_orient") is None and "dataset_idx" in data:
+            # learned per-frame poses (6D param -> axis-angle), same
+            # compiled program as the explicit-args path
+            from ..ops.rotations import rotation_6d_to_axis_angle
+
+            i = int(data["dataset_idx"])
+            data = dict(
+                data,
+                global_orient=rotation_6d_to_axis_angle(
+                    self.params.global_orient[i].reshape(1, 6)).reshape(3),
+                body_pose=rotation_6d_to_axis_angle(
+                    self.params.body_pose[i].reshape(-1, 6)).reshape(-1),
+                betas=self.params.betas,
+                transl=self.params.transl[i],
+            )
         data_j = {
             "global_orient": jnp.asarray(data["global_orient"]),
             "body_pose": jnp.asarray(data["body_pose"]),
@@ -850,6 +865,28 @@ class Trainer:
                     gt, img, os.path.join(
                         self.logdir, "val", f"full_{iter_s}_{i:03d}.png"))
         result = {k: float(np.mean(v)) for k, v in metrics.items()}
+        # train-frame masked PSNR with the LEARNED per-frame poses —
+        # the avatar-quality upper bound. A val/train gap here
+        # attributes the val score to val-frame pose misfit (val poses
+        # come from the preprocess fit and get no photometric
+        # refinement), not to the avatar itself.
+        try:
+            tr = []
+            for frame in self.kit.train_split[:: max(
+                    1, len(self.kit.train_split) // 8)][:8]:
+                img, _ = self._render_eval(
+                    {"global_orient": None, "body_pose": None,
+                     "betas": None, "transl": None,
+                     "dataset_idx": int(frame)}, bg=jnp.zeros(3))
+                gt = self.images[frame]
+                m = self.masks[frame][None]
+                mse_m = float((((img - gt) * m) ** 2).sum()
+                              / jnp.maximum(m.sum() * 3, 1.0))
+                tr.append(float(20 * np.log10(
+                    1.0 / max(np.sqrt(mse_m), 1e-6))))
+            result["psnr_masked_train"] = float(np.mean(tr))
+        except Exception as e:  # diagnostics must never kill a run
+            print(f"[val] train-frame diagnostics failed: {e}", flush=True)
         # random-feature LPIPS is a usable training signal but NOT
         # comparable to the reference's pretrained-VGG metric — flag it
         result["lpips_pretrained"] = bool(self.lpips_params.pretrained)
