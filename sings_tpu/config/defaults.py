@@ -153,6 +153,14 @@ DEFAULTS = {
             "pair_cap": None,
         },
         "capacity_margin": 1.25,   # slot headroom over current gaussians
+        # synthetic-template tessellation multiplier: 2.0 ~= 4x verts,
+        # matching the licensed SMPL's 6890 so n_subdivision=2 lands at
+        # the reference's ~110k-gaussian init (kept 1.0 in DEFAULTS so
+        # tests stay small; recipes override)
+        "synthetic_res": 1.0,
+        # gaussian-buffer capacity = capacity_mult * template verts
+        # (clamped to density_control.max_n_gaussians)
+        "capacity_mult": 2.0,
         "inner_steps": 8,          # train steps fused per dispatch (lax.scan)
         # (dp, gs) device mesh for multi-chip training (dist/shard.py):
         # dp shards frames (one optimizer update averages dp frames),

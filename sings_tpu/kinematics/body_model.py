@@ -286,6 +286,7 @@ def _bone_shapedirs(joints: np.ndarray, seg_slices: list, seg_t: list,
 def synthetic_template(
     num_betas: int = 10, *, n_seg: int = 7, n_ring: int = 12,
     hands: bool = False, seed: int = 0, n_bone_betas: int = 0,
+    res: float = 1.0,
 ) -> BodyTemplate:
     """Deterministic synthetic humanoid with SMPL(-H) skeleton.
 
@@ -297,7 +298,15 @@ def synthetic_template(
     n_bone_betas > 0 appends up to len(_BONE_GROUPS)+1 skeleton-
     proportion shapedir columns AFTER the num_betas requested columns
     (see _bone_shapedirs); total betas = num_betas + n_bone_betas.
+
+    res scales the tube tessellation (n_seg, n_ring) uniformly:
+    res=2.0 gives ~4x the vertices (~6.4k) — about the licensed SMPL's
+    6890, so two subdivisions land at the reference's ~110k-gaussian
+    init (smpl_layer.py:296-353, BASELINE.md) instead of 4x fewer.
     """
+    if res != 1.0:
+        n_seg = max(2, int(round(n_seg * res)))
+        n_ring = max(3, int(round(n_ring * res)))
     rng = np.random.RandomState(seed)
     joints = np.array([_SMPL_JOINT_POS[j] for j in range(24)])
 
@@ -479,6 +488,7 @@ def load_template(
     vertex_label: np.ndarray | None = None,
     parsing_dir: str | None =
         "/root/reference/data/human_models/smpl_parsing",
+    synthetic_res: float = 1.0,
 ) -> BodyTemplate:
     """Load a licensed SMPL(-H) model if present, else the synthetic one.
 
@@ -508,7 +518,8 @@ def load_template(
         # expose them as extra shape dims so the keypoint/silhouette fit
         # (preprocess/refine.py) can correct them per subject
         tpl = synthetic_template(num_betas, hands=(model_type == "smplh"),
-                                 n_bone_betas=len(_BONE_GROUPS) + 1)
+                                 n_bone_betas=len(_BONE_GROUPS) + 1,
+                                 res=synthetic_res)
     if n_subdivision > 0:
         tpl = subdivide_template(tpl, n_subdivision, smooth=True)
     return tpl

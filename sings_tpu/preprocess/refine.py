@@ -94,6 +94,40 @@ def coco133_body_targets(
     return out, w
 
 
+# COCO-133 face-anchor keypoints: nose, left eye, right eye, left ear,
+# right ear. 2D joint POSITIONS cannot constrain head ROTATION (the ear
+# midpoint used for the head joint is yaw-invariant), and an
+# uncalibrated per-frame head yaw/pitch smears the canonical face
+# texture into an eyeless blur (round-3 run r3a: masked PSNR 13.8 with
+# a featureless face). These five points are modeled as RIGID offsets
+# in the head joint's local frame — the offsets are shared across all
+# frames and fit jointly with the poses (rigid-body calibration: a
+# turnaround's yaw sweep makes them well-determined), so the per-frame
+# head rotation must follow the detected face.
+FACE_ANCHOR_COCO = (0, 1, 2, 3, 4)
+FACE_ANCHOR_INIT = np.array(
+    [[0.000, 0.060, 0.100],    # nose
+     [0.033, 0.090, 0.090],    # left eye
+     [-0.033, 0.090, 0.090],   # right eye
+     [0.070, 0.060, 0.010],    # left ear
+     [-0.070, 0.060, 0.010]],  # right ear
+    np.float32)
+
+
+def face_anchor_targets(
+    kp: np.ndarray, scores: np.ndarray, thresh: float = 0.8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(F, 133, 2) sapiens keypoints -> (F, 5, 2) face-anchor targets
+    + (F, 5) score weights (0 below `thresh` — back views have no
+    face detections and contribute nothing)."""
+    assert kp.shape[-2:] == (133, 2)
+    idx = list(FACE_ANCHOR_COCO)
+    t = kp[:, idx].astype(np.float32)
+    s = scores[:, idx]
+    w = np.where(s >= thresh, np.minimum(s, 1.0), 0.0).astype(np.float32)
+    return t, w
+
+
 class SkeletonFitConfig(NamedTuple):
     steps: int = 500
     lr: float = 0.02
@@ -114,13 +148,19 @@ class SkeletonFitConfig(NamedTuple):
     w_orient_prior: float = 600.0
     w_beta_prior: float = 0.05
     w_temporal: float = 10.0      # adjacent-frame pose/transl smoothness
+    w_face: float = 1.0           # face-anchor reprojection (head rot)
+    w_face_offset_prior: float = 100.0  # m^2; keep offsets head-sized
     optimize_betas: bool = True
 
 
-def posed_smpl_joints(template: DeviceTemplate, params: dict) -> jax.Array:
+def posed_smpl_joints(template: DeviceTemplate, params: dict,
+                      return_head_rot: bool = False):
     """(F, 24, 3) posed joint positions — the joints-only LBS prefix
     (blend shapes -> regressor -> kinematic chain), skipping the
-    per-vertex skinning entirely. Used by the keypoint-only fit."""
+    per-vertex skinning entirely. Used by the keypoint-only fit.
+
+    return_head_rot: also return the head joint's GLOBAL rotation
+    (F, 3, 3) for the rigid face-anchor reprojection."""
     from ..kinematics.lbs import (batch_rigid_transform, batch_rodrigues,
                                   blend_shapes, vertices2joints)
 
@@ -132,8 +172,25 @@ def posed_smpl_joints(template: DeviceTemplate, params: dict) -> jax.Array:
                      params["body_pose"])
     rot = batch_rodrigues(pose.reshape(f, -1, 3))
     joints_b = jnp.broadcast_to(joints, (f,) + joints.shape[1:])
-    posed, _ = batch_rigid_transform(rot, joints_b, template.parents)
-    return posed[:, :24] + params["transl"][:, None, :]
+    posed, transforms = batch_rigid_transform(
+        rot, joints_b, template.parents)
+    out = posed[:, :24] + params["transl"][:, None, :]
+    if return_head_rot:
+        # world transforms carry the accumulated chain rotation; the
+        # smplx rest-joint correction only touches the translation
+        return out, transforms[:, 15, :3, :3]
+    return out
+
+
+def project_px(points: jax.Array, Kj: jax.Array) -> jax.Array:
+    """(..., 3) camera-frame points -> (..., 2) pixel coords."""
+    uvw = jnp.einsum("...c,kc->...k", points, Kj)
+    z = jnp.where(jnp.abs(uvw[..., 2:]) < 1e-9, 1e-9, uvw[..., 2:])
+    return uvw[..., :2] / z
+
+
+def _huber_px(e: jax.Array, d: float) -> jax.Array:
+    return jnp.where(e <= d, 0.5 * e * e / d, e - 0.5 * d)
 
 
 def fit_skeleton(
@@ -144,6 +201,8 @@ def fit_skeleton(
     kp_weights: np.ndarray,
     cfg: SkeletonFitConfig = SkeletonFitConfig(),
     beta_mask: np.ndarray | None = None,
+    face_targets: np.ndarray | None = None,
+    face_weights: np.ndarray | None = None,
 ) -> dict:
     """Stage-A geometric alignment: keypoints only, no rendering.
 
@@ -167,6 +226,8 @@ def fit_skeleton(
     kp_w = jnp.asarray(kp_weights)
     b_mask = (None if beta_mask is None
               else jnp.asarray(beta_mask, jnp.float32))
+    use_face = (face_targets is not None and cfg.w_face > 0
+                and float(np.sum(face_weights)) > 0)
 
     params0 = {
         "global_orient": jnp.asarray(smpl_init["global_orient"]),
@@ -174,6 +235,10 @@ def fit_skeleton(
         "transl": jnp.asarray(smpl_init["transl"]),
         "betas": jnp.asarray(smpl_init["betas"]),
     }
+    if use_face:
+        face_t = jnp.asarray(face_targets)
+        face_w = jnp.asarray(face_weights)
+        params0["face_offsets"] = jnp.asarray(FACE_ANCHOR_INIT)
     prior = jax.tree.map(jnp.copy, params0)
 
     def loss_fn(params):
@@ -182,13 +247,11 @@ def fit_skeleton(
             params["betas"] = (
                 params["betas"] * b_mask
                 + jax.lax.stop_gradient(params["betas"]) * (1 - b_mask))
-        joints = posed_smpl_joints(template, params)  # (F, 24, 3)
-        uvw = jnp.einsum("fjc,kc->fjk", joints, Kj)
-        z = jnp.where(jnp.abs(uvw[..., 2:]) < 1e-9, 1e-9, uvw[..., 2:])
-        uv = uvw[..., :2] / z
+        joints, head_rot = posed_smpl_joints(template, params,
+                                             return_head_rot=True)
+        uv = project_px(joints, Kj)
         e = jnp.sqrt(jnp.sum((uv - kp_t) ** 2, axis=-1) + 1e-8)  # px
-        d = cfg.huber_px
-        hub = jnp.where(e <= d, 0.5 * e * e / d, e - 0.5 * d)
+        hub = _huber_px(e, cfg.huber_px)
         px_err = (e * kp_w).sum() / jnp.maximum(kp_w.sum(), 1.0)
         l_kp = (hub * kp_w).sum() / jnp.maximum(kp_w.sum(), 1.0)
         l_prior = jnp.mean((params["body_pose"] - prior["body_pose"]) ** 2)
@@ -201,6 +264,21 @@ def fit_skeleton(
         total = (l_kp + cfg.w_pose_prior * l_prior
                  + cfg.w_orient_prior * l_orient
                  + cfg.w_beta_prior * l_beta + cfg.w_temporal * l_temp)
+        if use_face:
+            # rigid face anchors: p = head_pos + R_head @ offset, the
+            # shared offsets calibrate against the turnaround's yaw
+            # sweep while per-frame head rotation follows the detections
+            anchors = (joints[:, 15][:, None, :]
+                       + jnp.einsum("fxy,ay->fax", head_rot,
+                                    params["face_offsets"]))
+            fe = jnp.sqrt(jnp.sum(
+                (project_px(anchors, Kj) - face_t) ** 2, axis=-1) + 1e-8)
+            l_face = (_huber_px(fe, cfg.huber_px) * face_w).sum() \
+                / jnp.maximum(face_w.sum(), 1.0)
+            l_off = jnp.mean(
+                (params["face_offsets"] - prior["face_offsets"]) ** 2)
+            total = total + cfg.w_face * l_face \
+                + cfg.w_face_offset_prior * l_off
         return total, px_err
 
     tx = optax.adam(cfg.lr)
@@ -235,6 +313,7 @@ class RefineConfig(NamedTuple):
     lr: float = 0.005
     w_silhouette: float = 1.0
     w_keypoints: float = 1e-4
+    w_face: float = 1e-4          # face anchors (head rot), fixed offsets
     w_prior: float = 0.1          # stay close to the initial estimate
     w_orient_prior: float = 60.0  # see SkeletonFitConfig.w_orient_prior
     splat_scale: float = 0.02     # silhouette splat size (m)
@@ -269,6 +348,9 @@ def refine_smpl(
     keypoint_valid: np.ndarray | None = None,
     cfg: RefineConfig = RefineConfig(),
     raster_kw: dict | None = None,
+    face_targets: np.ndarray | None = None,
+    face_weights: np.ndarray | None = None,
+    face_offsets: np.ndarray | None = None,
 ) -> dict:
     """Jointly refine per-frame SMPL parameters.
 
@@ -319,6 +401,12 @@ def refine_smpl(
 
     use_sil = cfg.w_silhouette > 0.0
     use_kp = kp is not None and cfg.w_keypoints > 0.0
+    use_face = (face_targets is not None and face_offsets is not None
+                and cfg.w_face > 0.0 and float(np.sum(face_weights)) > 0)
+    if use_face:
+        face_t = jnp.asarray(face_targets)
+        face_w = jnp.asarray(face_weights)
+        face_o = jnp.asarray(face_offsets)  # calibrated in stage A, fixed
 
     def sil_loss(params, i):
         out = smpl_forward(
@@ -339,27 +427,33 @@ def refine_smpl(
         # still run the rasterizer AND propagate any non-finite
         # backward values into the other terms' gradients.
         l = 0.0
-        if use_kp:
+        if use_kp or use_face:
             # keypoints + prior over ALL frames every step (joints-only
             # forward, no rendering — cheap). Minibatching these
             # DIVERGED under Adam: per-frame params visited every
             # f/batch steps coast on stale momentum in between, and the
             # walk increased the keypoint loss 13x at the bundled-kit
             # scale. Same robust huber as fit_skeleton.
-            joints = posed_smpl_joints(template, params)  # (F, 24, 3)
-            uvw = jnp.einsum("fjc,kc->fjk", joints, Kj)
-            z = jnp.where(jnp.abs(uvw[..., 2:]) < 1e-9, 1e-9,
-                          uvw[..., 2:])
-            uv = uvw[..., :2] / z
+            joints, head_rot = posed_smpl_joints(template, params,
+                                                 return_head_rot=True)
+        if use_kp:
+            uv = project_px(joints, Kj)
             e = jnp.sqrt(jnp.sum((uv - kp) ** 2, axis=-1) + 1e-8)
-            d = 10.0
-            hub = jnp.where(e <= d, 0.5 * e * e / d, e - 0.5 * d)
+            hub = _huber_px(e, 10.0)
             if kp_valid is not None:
                 l_kp = (hub * kp_valid).sum() / jnp.maximum(
                     kp_valid.sum(), 1.0)
             else:
                 l_kp = hub.mean()
             l = l + cfg.w_keypoints * l_kp
+        if use_face:
+            anchors = (joints[:, 15][:, None, :]
+                       + jnp.einsum("fxy,ay->fax", head_rot, face_o))
+            fe = jnp.sqrt(jnp.sum(
+                (project_px(anchors, Kj) - face_t) ** 2, axis=-1) + 1e-8)
+            l_face = (_huber_px(fe, 10.0) * face_w).sum() \
+                / jnp.maximum(face_w.sum(), 1.0)
+            l = l + cfg.w_face * l_face
         if use_sil:
             # silhouettes on a deterministic round-robin frame batch
             # (memory bound: each vmapped frame holds its own binning

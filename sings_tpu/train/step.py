@@ -274,12 +274,16 @@ def make_train_scan(train_step_inner):
                 params, buffers, opt_state, cache, batch, rng,
                 step0 + i, active_sh_degree, region_lap_pos,
                 region_lap_color, lap_pos_w, lap_color_w)
-            return (params, buffers, opt_state, i + 1), (
-                metrics["loss"], metrics["skipped"])
+            return (params, buffers, opt_state, i + 1), metrics
 
-        (params, buffers, opt_state, _), (losses, skipped) = jax.lax.scan(
+        (params, buffers, opt_state, _), metrics = jax.lax.scan(
             body, (params, buffers, opt_state, jnp.int32(0)),
             (batches, rngs))
-        return params, buffers, opt_state, losses, skipped
+        # every metric is a scalar per step — (K,) arrays, negligible;
+        # the per-term breakdown is what lets a loss spike/plateau be
+        # attributed from the run log alone (round-3 lesson: a bare
+        # total hid whether a 4x rise was photometric or regularizer)
+        return (params, buffers, opt_state, metrics["loss"],
+                metrics["skipped"], metrics)
 
     return scan_steps

@@ -125,6 +125,7 @@ class Trainer:
             model_dir, hcfg.body_template,
             num_betas=len(self.kit.smpl["betas"]),
             n_subdivision=hcfg.n_subdivision,
+            synthetic_res=float(cfg.tpu.get("synthetic_res", 1.0)),
         )
         if self.tpl.name == "synthetic":
             # the kit's betas parametrize the real (licensed) SMPL; on
@@ -162,7 +163,12 @@ class Trainer:
         # ---------------- avatar config + state
         n = self.tpl.num_verts
         max_n = int(hcfg.density_control.max_n_gaussians)
-        capacity = _round_up(min(max_n, int(n * 2.0)), 256)
+        # densify headroom above the template init; the KNN edge loss is
+        # ~quadratic in capacity, so recipes trade headroom (1.25x) for
+        # a higher-resolution template rather than letting a small init
+        # grow into a big buffer (tpu.capacity_mult)
+        cap_mult = float(cfg.tpu.get("capacity_mult", 2.0))
+        capacity = _round_up(min(max_n, int(n * cap_mult)), 256)
         tri = TriplaneConfig(
             resolution=tuple(hcfg.kplanes.resolution),
             out_dim=hcfg.kplanes.output_coordinate_dim,
@@ -374,6 +380,7 @@ class Trainer:
         from ..kinematics.template import DeviceTemplate as _DT
         from ..preprocess.refine import (RefineConfig, SkeletonFitConfig,
                                          coco133_body_targets,
+                                         face_anchor_targets,
                                          fit_skeleton, refine_smpl)
 
         d = max(1, min(self.camera.height, self.camera.width) // 128)
@@ -391,10 +398,12 @@ class Trainer:
              [0, 0, 1]], np.float32)
         dt = _DT.from_host(self.tpl)
 
-        kp_t = kp_w = None
+        kp_t = kp_w = face_t = face_w = face_o = None
         if self.kit.keypoints is not None:
             kp_t, kp_w = coco133_body_targets(self.kit.keypoints,
                                               self.kit.keypoint_scores)
+            face_t, face_w = face_anchor_targets(self.kit.keypoints,
+                                                 self.kit.keypoint_scores)
             beta_mask = np.zeros(nb, np.float32)
             beta_mask[0] = 1.0
             if self.tpl.n_bone_betas:
@@ -403,11 +412,13 @@ class Trainer:
                 dt, K, init, kp_t, kp_w,
                 SkeletonFitConfig(steps=int(self.cfg.tpu.get(
                     "skeleton_fit_steps", 500))),
-                beta_mask=beta_mask)
+                beta_mask=beta_mask,
+                face_targets=face_t, face_weights=face_w)
             print(f"[fit_synthetic] keypoint px err "
                   f"{res_a['px_err'][0]:.2f} -> {res_a['px_err'][-1]:.2f}",
                   flush=True)
             init = {k: res_a[k] for k in init}
+            face_o = res_a.get("face_offsets")
         else:
             print("[fit_synthetic] no keypoints_coco133 in kit; "
                   "silhouette-only fit", flush=True)
@@ -416,12 +427,14 @@ class Trainer:
             steps=int(self.cfg.tpu.get("synthetic_fit_steps", 300)),
             lr=0.01, render_downscale=d,
             w_keypoints=0.5 if kp_t is not None else 0.0,
+            w_face=0.5 if face_o is not None else 0.0,
             w_prior=0.05, optimize_betas=True)
         res = refine_smpl(
             dt, self.camera, K, init, self.kit.masks,
             keypoints2d=kp_t, keypoint_valid=kp_w,
             cfg=cfg, raster_kw=self.raster_kw
-            if hasattr(self, "raster_kw") else None)
+            if hasattr(self, "raster_kw") else None,
+            face_targets=face_t, face_weights=face_w, face_offsets=face_o)
         print(f"[fit_synthetic] silhouette loss "
               f"{res['losses'][0]:.4f} -> {res['losses'][-1]:.4f}",
               flush=True)
@@ -493,6 +506,7 @@ class Trainer:
         log_every = 50
 
         steps_since_log = 0
+        last_terms = {}
         while self.step < num_steps:
             t_iter = self.step
 
@@ -533,6 +547,9 @@ class Trainer:
                     self.lap_pos_w, self.lap_color_w,
                 )
                 last_loss = metrics["loss"]
+                last_terms = {k: float(v) for k, v in metrics.items()
+                              if k not in ("loss", "skipped")
+                              and getattr(v, "ndim", 1) == 0}
                 if float(metrics["skipped"]) > 0:
                     print(f"[{t_iter}] WARNING: non-finite gradients, "
                           "update skipped")
@@ -554,6 +571,9 @@ class Trainer:
                     self.lap_pos_w, self.lap_color_w,
                 )
                 last_loss = metrics["loss"]
+                last_terms = {k: float(v) for k, v in metrics.items()
+                              if k not in ("loss", "skipped")
+                              and getattr(v, "ndim", 1) == 0}
                 if float(metrics["skipped"]) > 0:
                     print(f"[{t_iter}] WARNING: non-finite gradients, "
                           "update skipped")
@@ -567,7 +587,7 @@ class Trainer:
                 }
                 rngs = jax.random.split(key, k)
                 (self.params, self.buffers, self.opt_state,
-                 losses, skipped) = self.train_scan(
+                 losses, skipped, term_metrics) = self.train_scan(
                     self.params, self.buffers, self.opt_state, self.cache,
                     batches, rngs, jnp.asarray(t_iter),
                     jnp.asarray(self.active_sh_degree),
@@ -575,6 +595,9 @@ class Trainer:
                     self.lap_pos_w, self.lap_color_w,
                 )
                 last_loss = losses[-1]
+                last_terms = {k: float(v[-1]) for k, v in
+                              term_metrics.items()
+                              if k not in ("loss", "skipped")}
                 n_skip = float(jnp.sum(skipped))
                 if n_skip > 0:
                     print(f"[{t_iter}] WARNING: {int(n_skip)}/{k} steps had "
@@ -585,9 +608,14 @@ class Trainer:
             if steps_since_log >= log_every:
                 n_alive = int(np.asarray(self.buffers.alive).sum())
                 dt = time.time() - t0
+                terms = "".join(
+                    f" {k.replace('photo_', '')}={v:.3f}"
+                    for k, v in sorted(last_terms.items())) \
+                    if last_terms else ""
                 print(f"[{t_iter:6d}] loss={float(last_loss):.4f} "
                       f"n_gs={n_alive/1000:.1f}K "
-                      f"({steps_since_log/max(dt,1e-9):.2f} it/s)",
+                      f"({steps_since_log/max(dt,1e-9):.2f} it/s)"
+                      f"{terms}",
                       flush=True)
                 t0 = time.time()
                 steps_since_log = 0

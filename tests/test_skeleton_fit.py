@@ -166,3 +166,80 @@ def test_refine_smpl_keeps_converged_keypoints():
     px = np.sqrt(((uv2 - targets) ** 2).sum(-1)).mean()
     assert px < 1.0, px
     assert res["losses"][-1] <= res["losses"][0] + 1e-3
+
+
+def _head_rot_angles(dt, params, true_params):
+    """Per-frame head-rotation deviation (deg) between two param sets."""
+    import jax
+    _, r_fit = posed_smpl_joints(
+        dt, {k: jnp.asarray(v) for k, v in params.items()
+             if k != "face_offsets"}, return_head_rot=True)
+    _, r_true = posed_smpl_joints(
+        dt, {k: jnp.asarray(v) for k, v in true_params.items()},
+        return_head_rot=True)
+    rel = jnp.einsum("fxy,fzy->fxz", r_fit, r_true)
+    tr = rel[:, 0, 0] + rel[:, 1, 1] + rel[:, 2, 2]
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return np.degrees(np.asarray(jnp.arccos(cos)))
+
+
+def test_face_anchors_recover_head_yaw():
+    """2D joint targets alone cannot constrain head ROTATION (the ear
+    midpoint is yaw-invariant); the rigid face anchors must. GT head
+    yaw sweeps across frames; the init zeroes it. Fit WITH anchors
+    recovers the per-frame head rotation; WITHOUT them it cannot."""
+    from sings_tpu.preprocess.refine import (FACE_ANCHOR_INIT,
+                                             face_anchor_targets)
+
+    tpl = synthetic_template(num_betas=4, n_seg=4, n_ring=6,
+                             n_bone_betas=N_BONE)
+    dt = DeviceTemplate.from_host(tpl)
+    f = 8
+    rng = np.random.RandomState(2)
+    body_pose = (0.02 * rng.randn(f, 69)).astype(np.float32)
+    yaw = np.linspace(-0.6, 0.6, f).astype(np.float32)  # head joint 15
+    body_pose[:, 3 * 14 + 1] = yaw  # body_pose joint j is cols 3(j-1)
+    true = {
+        "betas": np.zeros(tpl.num_betas, np.float32),
+        "global_orient": np.zeros((f, 3), np.float32),
+        "body_pose": body_pose,
+        "transl": np.tile(np.array([[0.0, 0.3, 8.0]], np.float32),
+                          (f, 1)),
+    }
+    K = np.array([[1000.0, 0, 128], [0, 1000.0, 224], [0, 0, 1]],
+                 np.float32)
+    tp = {k: jnp.asarray(v) for k, v in true.items()}
+    joints, head_rot = posed_smpl_joints(dt, tp, return_head_rot=True)
+    joints = np.asarray(joints)
+    uvw = joints @ K.T
+    targets = (uvw[..., :2] / uvw[..., 2:]).astype(np.float32)
+    weights = np.ones((f, 24), np.float32)
+
+    # face keypoints from the GT anchors at slightly NON-default offsets
+    # (the fit must calibrate them, not just reuse its init)
+    off_true = FACE_ANCHOR_INIT + np.float32(0.01)
+    anchors = (joints[:, 15][:, None, :]
+               + np.einsum("fxy,ay->fax", np.asarray(head_rot), off_true))
+    auvw = anchors @ K.T
+    kp133 = np.zeros((f, 133, 2), np.float32)
+    kp133[:, :5] = auvw[..., :2] / auvw[..., 2:]
+    sc133 = np.zeros((f, 133), np.float32)
+    sc133[:, :5] = 1.0
+    face_t, face_w = face_anchor_targets(kp133, sc133)
+    assert face_w.sum() == 5 * f
+
+    init = {k: np.copy(v) for k, v in true.items()}
+    init["body_pose"] = np.copy(body_pose)
+    init["body_pose"][:, 3 * 14:3 * 15] = 0.0  # head rotation unknown
+
+    cfg = SkeletonFitConfig(steps=400, lr=0.02, w_pose_prior=0.05,
+                            w_temporal=0.0)
+    res_no = fit_skeleton(dt, K, init, targets, weights, cfg)
+    dev_no = _head_rot_angles(dt, res_no, true)
+    res = fit_skeleton(dt, K, init, targets, weights, cfg,
+                       face_targets=face_t, face_weights=face_w)
+    dev = _head_rot_angles(dt, res, true)
+    # without anchors the swept yaw (up to ~34 deg) stays unrecovered
+    assert dev_no.max() > 15.0, dev_no
+    assert dev.max() < 5.0, (dev, dev_no)
+    assert "face_offsets" in res
