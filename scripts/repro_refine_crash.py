@@ -28,14 +28,16 @@ from sings_tpu.preprocess.refine import RefineConfig, refine_smpl
 steps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 5
 
 cfg = load_config(DEFAULTS, "configs/human_complex.yaml", [
-    "dataset.root_dir=/root/repo/work/kits", "output_path=/tmp/x",
+    "dataset.root_dir=" + os.environ.get("KIT_ROOT", "/root/reference/examples/training_kits"),
+    "output_path=/tmp/x",
     "human.body_template=smplh"])
-kit = load_kit("/root/repo/work/kits/f_2",
+kit = load_kit(os.path.join(os.environ.get("KIT_ROOT", "/root/reference/examples/training_kits"), "f_2"),
                downscale=int(cfg.dataset.get("downscale", 1) or 1))
 tpl = load_template(
     os.path.join(cfg.tpu.smpl_model_dir, cfg.human.body_template),
     cfg.human.body_template, num_betas=len(kit.smpl["betas"]),
-    n_subdivision=cfg.human.n_subdivision)
+    n_subdivision=cfg.human.n_subdivision,
+    synthetic_res=float(os.environ.get("SYN_RES", cfg.tpu.get("synthetic_res", 1.0))))
 print("tpl", tpl.name, tpl.num_verts, "cam", kit.camera.height,
       kit.camera.width, flush=True)
 

@@ -158,6 +158,9 @@ DEFAULTS = {
         # the reference's ~110k-gaussian init (kept 1.0 in DEFAULTS so
         # tests stay small; recipes override)
         "synthetic_res": 1.0,
+        # KNN edge-statistic backend: "dense" | "window" | "auto"
+        # (auto: window at capacity >= 64k; see ops/knn.py)
+        "knn_backend": "auto",
         # gaussian-buffer capacity = capacity_mult * template verts
         # (clamped to density_control.max_n_gaussians)
         "capacity_mult": 2.0,

@@ -1,10 +1,19 @@
-"""Brute-force K-nearest-neighbors on TPU.
+"""K-nearest-neighbors on TPU.
 
 Replaces pytorch3d.ops.knn_points (used by GaussiansEdgeLoss, reference
-sings/rec/losses/loss_items.py:73). N is <= 2e5 so a blocked dense
-distance matrix on the MXU is the speed-of-light approach: distances are
-computed as  |a|^2 + |b|^2 - 2 a.b  where the cross term is one big
-matmul per block, then reduced with jax.lax.top_k.
+sings/rec/losses/loss_items.py:73). Two designs:
+
+  * knn / knn_rows: blocked dense distance matrix on the MXU
+    (|a|^2 + |b|^2 - 2 a.b, one matmul per block + top_k). Exact (or
+    hardware-approx top-k), but O(N^2) — 5 ms at 51k, ~31 ms at 131k.
+  * knn_window_stat: Morton-sorted windowed candidates — O(N*W). Points
+    are sorted along a 30-bit Morton curve; each point's K neighbors
+    are searched only among the W nearest positions along the curve.
+    The curve's locality makes the top-k statistic accurate to ~1% for
+    surface-like clouds, and the KNN edge-length regularizer consumes
+    a stop-gradient'd MEAN of K-1 distances (loss_items.py:73-83
+    .detach()), so occasional rank misses are invisible. This is what
+    unlocks reference-scale capacity (>=100k gaussians) at TPU speed.
 """
 from __future__ import annotations
 
@@ -64,6 +73,87 @@ def knn(points: jax.Array, k: int, *, valid: jax.Array | None = None,
     dists = dists.reshape(-1, k)[:n]
     idx = idx.reshape(-1, k)[:n]
     return jnp.maximum(dists, 0.0), idx
+
+
+def _spread3(x: jax.Array) -> jax.Array:
+    """Spread 10 bits to every 3rd bit (Morton interleave helper)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton3d(points: jax.Array, valid: jax.Array) -> jax.Array:
+    """(N, 3) -> (N,) int32 30-bit Morton codes over the valid bbox.
+
+    Invalid points get INT32_MAX so they argsort to the end."""
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
+    # UNIFORM meters-per-cell (max extent over axes): per-axis
+    # normalization makes cells anisotropic and breaks metric locality
+    # (measured 6% mean statistic error on a capsule cloud vs 0.2%
+    # with uniform cells)
+    ext = jnp.maximum(jnp.max(hi - lo), 1e-9)
+    q = jnp.clip((points - lo) / ext * 1023.0, 0.0, 1023.0).astype(
+        jnp.int32)
+    code = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+            | (_spread3(q[:, 2]) << 2))
+    return jnp.where(valid, code, jnp.int32(2**31 - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "block"))
+def knn_window_stat(points: jax.Array, k: int, *,
+                    valid: jax.Array | None = None,
+                    window: int = 256, block: int = 256) -> jax.Array:
+    """Mean distance to the K-1 nearest neighbors, per point — the
+    statistic the KNN edge-length regularizer consumes (self always
+    included among the k, as in knn()).
+
+    O(N * (window + block)) via Morton-curve candidate windows instead
+    of knn()'s O(N^2) dense matrix: after sorting along the curve, each
+    point's candidates are the `window + block` sorted positions
+    around its own. Approximate — curve discontinuities can hide a true
+    neighbor — but the MEAN-of-(k-1) statistic is insensitive (<1%
+    relative error on surface-like clouds at window=256, see
+    tests/test_knn.py), and the regularizer detaches it anyway
+    (loss_items.py:73-83). Returns (N,) in ORIGINAL point order;
+    invalid points get 0.
+    """
+    n = points.shape[0]
+    assert n % block == 0, (n, block)
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    code = morton3d(points, valid)
+    order = jnp.argsort(code)
+    ps = points[order]
+    pv = valid[order]
+    sq = jnp.sum(ps * ps, axis=-1)
+    big = jnp.float32(jnp.inf)
+    half = window // 2
+    cand = block + window
+    nblocks = n // block
+
+    def one_block(bi):
+        start = bi * block
+        cstart = jnp.clip(start - half, 0, max(n - cand, 0))
+        cp = jax.lax.dynamic_slice_in_dim(ps, cstart, min(cand, n), 0)
+        cv = jax.lax.dynamic_slice_in_dim(pv, cstart, min(cand, n), 0)
+        csq = jax.lax.dynamic_slice_in_dim(sq, cstart, min(cand, n), 0)
+        q = jax.lax.dynamic_slice_in_dim(ps, start, block, 0)
+        qsq = jax.lax.dynamic_slice_in_dim(sq, start, block, 0)
+        d2 = qsq[:, None] + csq[None, :] - 2.0 * (q @ cp.T)
+        d2 = jnp.where(cv[None, :], d2, big)
+        neg, _ = jax.lax.top_k(-d2, k)
+        d = jnp.sqrt(jnp.maximum(-neg[:, 1:], 1e-24))
+        return d.mean(axis=1)
+
+    stat_sorted = jax.lax.map(one_block, jnp.arange(nblocks)).reshape(-1)
+    stat_sorted = jnp.where(pv, stat_sorted, 0.0)
+    # un-sort: one more key/value sort (a scatter would cost ~10ns/el)
+    _, stat = jax.lax.sort_key_val(order, stat_sorted)
+    return stat
 
 
 @functools.partial(jax.jit,

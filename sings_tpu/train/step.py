@@ -57,6 +57,9 @@ class StepConfig(NamedTuple):
     opt_app_from: int
     opacity_norm_from: int        # max(prune_until, densify_until)
     knn_k: int = 9
+    # "dense" (blocked O(N^2) matrix) or "window" (Morton-curve
+    # candidates, O(N*W)) — see losses.regularizers.gaussians_edge_loss
+    knn_backend: str = "dense"
 
 
 def sh_degree_mask(active_degree: jax.Array) -> jax.Array:
@@ -164,7 +167,8 @@ def make_train_step(
             connect = zero if w.gaussian_connect == 0 else (
                 w.gaussian_connect * gaussians_edge_loss(
                     jax.lax.stop_gradient(out["xyz_canon"]),
-                    out["scales"], alive, k=step_cfg.knn_k))
+                    out["scales"], alive, k=step_cfg.knn_k,
+                    backend=step_cfg.knn_backend))
 
             # position + hand laplacians share region_lap_pos's table:
             # fuse them into one neighbor gather (loss_fused)
