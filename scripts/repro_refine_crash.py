@@ -96,6 +96,22 @@ if "--fwd-only" in sys.argv:
     print("OK: fwd-only done", flush=True)
     sys.exit(0)
 
+kp_kw = {}
+if "--kp" in sys.argv or "--face" in sys.argv:
+    from sings_tpu.preprocess.refine import (coco133_body_targets,
+                                             face_anchor_targets)
+
+    kp_t, kp_w = coco133_body_targets(kit.keypoints, kit.keypoint_scores)
+    kp_kw = dict(keypoints2d=kp_t, keypoint_valid=kp_w)
+    rcfg = rcfg._replace(w_keypoints=0.5)
+    if "--face" in sys.argv:
+        face_t, face_w = face_anchor_targets(kit.keypoints,
+                                             kit.keypoint_scores)
+        from sings_tpu.preprocess.refine import FACE_ANCHOR_INIT
+        kp_kw.update(face_targets=face_t, face_weights=face_w,
+                     face_offsets=FACE_ANCHOR_INIT)
+        rcfg = rcfg._replace(w_face=0.5)
+
 res = refine_smpl(DeviceTemplate.from_host(tpl), cam, K, init, kit.masks,
-                  cfg=rcfg, raster_kw=raster_kw)
+                  cfg=rcfg, raster_kw=raster_kw, **kp_kw)
 print("OK: loss", res["losses"][0], "->", res["losses"][-1], flush=True)

@@ -323,6 +323,9 @@ class RefineConfig(NamedTuple):
     batch_frames: int = 8         # frames per step (memory bound: each
                                   # vmapped frame holds its own binning
                                   # buffers; all-frames vmap OOMs HBM)
+    scan_chunk: int = 64          # steps per device dispatch (long
+                                  # single programs fault the tunneled
+                                  # TPU worker — see refine_smpl body)
 
 
 def _silhouette(verts: jax.Array, camera: Camera, cfg: RefineConfig,
@@ -476,8 +479,8 @@ def refine_smpl(
 
     opt_state = tx.init(params0)
 
-    @jax.jit
-    def run(params, opt_state):
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run(params, opt_state, step0, length):
         def step(carry, step_i):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(total_loss)(params, step_i)
@@ -491,12 +494,31 @@ def refine_smpl(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        steps_i = jnp.arange(cfg.steps, dtype=jnp.int32)
+        steps_i = step0 + jnp.arange(length, dtype=jnp.int32)
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), steps_i)
-        return params, losses
+        return params, opt_state, losses
 
-    params, losses = run(params0, opt_state)
+    # bounded dispatches: ONE scan over all steps builds a device
+    # program whose runtime grows with steps * silhouette cost, and at
+    # reference-scale shapes (102k verts, ~15-30 s single program) the
+    # tunneled TPU worker deterministically crashed mid-program
+    # (bisected: 100-step scan OK, 180-step scan faults, the identical
+    # 300 steps host-stepped are clean — scripts/repro_refine_crash*.py).
+    # Chunks of <=64 steps keep each dispatch seconds-long; the chunk
+    # body compiles once and the remainder (if any) once more.
+    chunk_len = int(cfg.scan_chunk)
+    params = params0
+    loss_chunks = []
+    done = 0
+    while done < cfg.steps:
+        ln = min(chunk_len, cfg.steps - done)
+        params, opt_state, losses_c = run(
+            params, opt_state, jnp.int32(done), ln)
+        loss_chunks.append(losses_c)
+        done += ln
+    losses = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 \
+        else loss_chunks[0]
     out = {k: np.asarray(v) for k, v in params.items()}
     out["losses"] = np.asarray(losses)
     return out
