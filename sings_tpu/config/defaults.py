@@ -161,6 +161,9 @@ DEFAULTS = {
         # KNN edge-statistic backend: "dense" | "window" | "auto"
         # (auto: window at capacity >= 64k; see ops/knn.py)
         "knn_backend": "auto",
+        # test-time val-frame pose refinement steps (0 = off, the
+        # reference protocol); >0 adds psnr_masked_refined to val
+        "val_pose_refine_steps": 0,
         # gaussian-buffer capacity = capacity_mult * template verts
         # (clamped to density_control.max_n_gaussians)
         "capacity_mult": 2.0,

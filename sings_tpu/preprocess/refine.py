@@ -316,7 +316,12 @@ class RefineConfig(NamedTuple):
     w_face: float = 1e-4          # face anchors (head rot), fixed offsets
     w_prior: float = 0.1          # stay close to the initial estimate
     w_orient_prior: float = 60.0  # see SkeletonFitConfig.w_orient_prior
-    splat_scale: float = 0.02     # silhouette splat size (m)
+    # silhouette splat size (m); None = auto, ~1.7x the template's
+    # median vertex spacing. A fixed 0.02 tuned for 25.6k verts renders
+    # a FAT silhouette on a 102k-vert template (spacing ~halves per
+    # subdivision) — the r3b fit's mask MSE floored ~2x higher than
+    # r3a's because the splats themselves overflowed the mask
+    splat_scale: float | None = None
     splat_opacity: float = 0.7
     optimize_betas: bool = False
     render_downscale: int = 4     # silhouettes at reduced resolution
@@ -326,6 +331,15 @@ class RefineConfig(NamedTuple):
     scan_chunk: int = 64          # steps per device dispatch (long
                                   # single programs fault the tunneled
                                   # TPU worker — see refine_smpl body)
+
+
+def auto_splat_scale(template: DeviceTemplate) -> float:
+    """~1.7x the template's median edge length — splats that tile the
+    surface without fattening the silhouette (see RefineConfig)."""
+    v = np.asarray(template.v_template)
+    f = np.asarray(template.faces)
+    e = np.linalg.norm(v[f[:, 0]] - v[f[:, 1]], axis=-1)
+    return float(np.clip(1.7 * np.median(e), 1e-4, 0.05))
 
 
 def _silhouette(verts: jax.Array, camera: Camera, cfg: RefineConfig,
@@ -401,6 +415,9 @@ def refine_smpl(
     }
     params0 = dict(init)
     prior = jax.tree.map(jnp.copy, init)
+
+    if cfg.splat_scale is None:
+        cfg = cfg._replace(splat_scale=auto_splat_scale(template))
 
     use_sil = cfg.w_silhouette > 0.0
     use_kp = kp is not None and cfg.w_keypoints > 0.0

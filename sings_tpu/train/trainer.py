@@ -9,6 +9,7 @@ including the densify_interval += 1 drift after a prune.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -874,11 +875,100 @@ class Trainer:
                   (camera.view, camera.proj, camera.cam_center), data_j,
                   jnp.asarray(bg), jnp.asarray(self.active_sh_degree))
 
+    def _val_pose_refine(self, data, frame, steps, chunk=16):
+        """Test-time pose refinement for a val frame: optimize
+        (global_orient, body_pose, transl) of the FROZEN avatar against
+        the masked MSE. NOT part of the reference protocol (its
+        validate renders the raw preprocess-fit poses,
+        gs_trainer.py:560-568 dataset_idx=-1) — reported separately as
+        psnr_masked_refined; see PARITY.md. Dispatched in short chunks
+        (long single programs fault the tunneled worker)."""
+        import optax
+
+        from ..ops.graphics import Camera
+        from .step import sh_degree_mask
+
+        geom = self.camera
+        gt = self.images[frame]
+        mask = self.masks[frame]
+        if not hasattr(self, "_val_refine_fn"):
+            tx = optax.adam(2e-3)
+
+            @functools.partial(jax.jit, static_argnames=("length",))
+            def run(params, buffers, cache, cam_arrays, pose, opt_state,
+                    fixed, gt, mask, deg, length):
+                cam = Camera(
+                    view=cam_arrays[0], proj=cam_arrays[1],
+                    cam_center=cam_arrays[2], height=geom.height,
+                    width=geom.width, tan_fovx=geom.tan_fovx,
+                    tan_fovy=geom.tan_fovy,
+                    clamp_tan_fovx=geom.clamp_tan_fovx,
+                    clamp_tan_fovy=geom.clamp_tan_fovy)
+
+                def loss_fn(pose):
+                    out = avatar_forward(
+                        params, buffers, self.avatar_cfg, self.template,
+                        cache, global_orient=pose["global_orient"],
+                        body_pose=pose["body_pose"], betas=fixed["betas"],
+                        transl=pose["transl"],
+                        smpl_scale=fixed["smpl_scale"], eval_mode=True)
+                    shs = out["shs"] * sh_degree_mask(deg)[None, :, None]
+                    pkg = rasterize(
+                        out["xyz"], out["scales"], out["rotq"],
+                        out["opacity"][:, 0], shs, cam, sh_degree=3,
+                        bg=jnp.zeros(3), alive=buffers.alive > 0.5,
+                        backend="pallas", **self.raster_kw)
+                    m = mask[None]
+                    return ((pkg["render"] - gt) * m).__pow__(2).sum() \
+                        / jnp.maximum(m.sum() * 3, 1.0)
+
+                def body(carry, _):
+                    pose, opt_state = carry
+                    loss, grads = jax.value_and_grad(loss_fn)(pose)
+                    finite = jnp.all(jnp.asarray([
+                        jnp.all(jnp.isfinite(g))
+                        for g in jax.tree.leaves(grads)]))
+                    grads = jax.tree.map(
+                        lambda g: jnp.where(finite, g, 0.0), grads)
+                    updates, opt_state = tx.update(grads, opt_state, pose)
+                    return (optax.apply_updates(pose, updates),
+                            opt_state), loss
+
+                (pose, opt_state), losses = jax.lax.scan(
+                    body, (pose, opt_state), None, length=length)
+                return pose, opt_state, losses
+
+            self._val_refine_fn = (run, tx)
+        run, tx = self._val_refine_fn
+        pose = {
+            "global_orient": jnp.asarray(data["global_orient"]),
+            "body_pose": jnp.asarray(data["body_pose"]),
+            "transl": jnp.asarray(data["transl"]),
+        }
+        fixed = {
+            "betas": jnp.asarray(data["betas"]),
+            "smpl_scale": jnp.ones(1),
+        }
+        opt_state = tx.init(pose)
+        cam_arrays = (geom.view, geom.proj, geom.cam_center)
+        done = 0
+        while done < steps:
+            ln = min(chunk, steps - done)
+            pose, opt_state, _ = run(
+                self.params, self.buffers, self.cache, cam_arrays, pose,
+                opt_state, fixed, gt, mask,
+                jnp.asarray(self.active_sh_degree), ln)
+            done += ln
+        return {k: np.asarray(v) for k, v in pose.items()}
+
     def validate(self, iter_s="final"):
         # psnr/ssim/lpips follow the reference protocol exactly (black-bg
         # render vs raw GT, gs_trainer.py:549,584-586); psnr_masked is an
         # extra diagnostic restricted to the person mask
         metrics = {"psnr": [], "ssim": [], "lpips": [], "psnr_masked": []}
+        refine_steps = int(self.cfg.tpu.get("val_pose_refine_steps", 0))
+        if refine_steps > 0:
+            metrics["psnr_masked_refined"] = []
         for i, frame in enumerate(self.kit.val_split):
             data = {
                 "global_orient": self.kit.smpl["global_orient"][frame],
@@ -897,6 +987,20 @@ class Trainer:
                           / jnp.maximum(m.sum() * 3, 1.0))
             metrics["psnr_masked"].append(
                 float(20 * np.log10(1.0 / max(np.sqrt(mse_m), 1e-6))))
+            if refine_steps > 0:
+                try:
+                    pose = self._val_pose_refine(data, frame, refine_steps)
+                    img_r, _ = self._render_eval(
+                        dict(data, **pose), bg=jnp.zeros(3))
+                    mse_r = float((((img_r - gt) * m) ** 2).sum()
+                                  / jnp.maximum(m.sum() * 3, 1.0))
+                    metrics["psnr_masked_refined"].append(
+                        float(20 * np.log10(
+                            1.0 / max(np.sqrt(mse_r), 1e-6))))
+                except Exception as e:
+                    print(f"[val] pose refine failed: {e}", flush=True)
+                    refine_steps = 0
+                    metrics.pop("psnr_masked_refined", None)
             if i < 4:
                 self._save_image_pair(
                     gt, img, os.path.join(

@@ -55,6 +55,9 @@ def test_train_smoke(tmp_path):
     from sings_tpu.train.trainer import Trainer
 
     cfg = make_cfg(str(tmp_path), steps=6)
+    # exercise the test-time val-pose refinement path (2 steps; the
+    # extra psnr_masked_refined metric must appear and be finite)
+    cfg.tpu.val_pose_refine_steps = 2
     trainer = Trainer(cfg)
     assert trainer.tpl.name == "synthetic"
     assert trainer.camera.width == 64 and trainer.camera.height == 112
@@ -71,6 +74,8 @@ def test_train_smoke(tmp_path):
     result = trainer.train()
     assert np.isfinite(losses).all()
     assert "psnr" in result and np.isfinite(result["psnr"])
+    assert "psnr_masked_refined" in result \
+        and np.isfinite(result["psnr_masked_refined"])
     # checkpoint written and loadable
     ckpt = os.path.join(trainer.logdir_ckpt, "human_final.npz")
     assert os.path.exists(ckpt)
