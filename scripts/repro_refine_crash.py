@@ -72,6 +72,10 @@ if "--fwd-only" in sys.argv:
     from sings_tpu.preprocess.refine import _silhouette
 
     dt = DeviceTemplate.from_host(tpl)
+    # splat_scale defaults to None (auto); _silhouette needs a concrete
+    # value — refine_smpl resolves it internally, we must do it here
+    from sings_tpu.preprocess.refine import auto_splat_scale
+    rcfg = rcfg._replace(splat_scale=auto_splat_scale(dt))
     masks_lr = kit.masks[:, ::d, ::d]
     Kd = K.copy()
     Kd[:2] /= d

@@ -79,6 +79,11 @@ face_o = res_a["face_offsets"]
 rcfg = RefineConfig(steps=steps, lr=0.01, render_downscale=d,
                     w_keypoints=0.5, w_face=0.5, w_prior=0.05,
                     optimize_betas=True)
+# splat_scale None (auto) is only resolved inside refine_smpl; this
+# script calls _silhouette directly and needs a concrete value
+from sings_tpu.preprocess.refine import auto_splat_scale  # noqa: E402
+
+rcfg = rcfg._replace(splat_scale=auto_splat_scale(dt))
 raster_kw = dict(tile=16, chunk=128, max_span=3)
 
 masks_lr = kit.masks[:, ::d, ::d]

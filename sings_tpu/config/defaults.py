@@ -158,8 +158,11 @@ DEFAULTS = {
         # the reference's ~110k-gaussian init (kept 1.0 in DEFAULTS so
         # tests stay small; recipes override)
         "synthetic_res": 1.0,
-        # KNN edge-statistic backend: "dense" | "window" | "auto"
-        # (auto: window at capacity >= 64k; see ops/knn.py)
+        # KNN edge-statistic backend: "dense" | "window" | "auto".
+        # auto currently resolves to dense (exact O(N^2)); the window
+        # backend measures ~85% true-NN recall / ~5-7% mean statistic
+        # error on dense surface clouds (see trainer.py, tests/test_ops)
+        # and stays opt-in until fixed
         "knn_backend": "auto",
         # test-time val-frame pose refinement steps (0 = off, the
         # reference protocol); >0 adds psnr_masked_refined to val

@@ -63,6 +63,35 @@ def l2_norm_loss(
     return loss
 
 
+def edge_stat(
+    xyz_canon: jax.Array, alive: jax.Array, k: int = 9,
+    approx: bool = True, backend: str = "dense",
+) -> jax.Array:
+    """Per-gaussian mean distance to the K-1 nearest neighbors, (N,).
+
+    The stop-gradient'd statistic gaussians_edge_loss consumes
+    (reference detaches it, loss_items.py:73-83). Split out so the
+    train scan can compute it ONCE per chunk and amortize the O(N^2)
+    dense KNN over inner_steps (train/step.py knn_backend="chunk") —
+    canonical positions move negligibly within a chunk.
+    """
+    if backend == "window":
+        return jax.lax.stop_gradient(
+            knn_window_stat(xyz_canon, k, valid=alive > 0))
+    dists, _idx = knn(xyz_canon, k, valid=alive > 0, approx=approx)
+    # idx[:, 0] is self; mean over the K-1 neighbors
+    return jax.lax.stop_gradient(
+        jnp.sqrt(jnp.maximum(dists[:, 1:], 1e-24)).mean(axis=1))
+
+
+def gaussians_edge_loss_from_stat(
+    stat: jax.Array, scales: jax.Array, alive: jax.Array,
+) -> jax.Array:
+    """mean (scale_i - stat_i)^2 over alive gaussians."""
+    err = (scales[:, 0] - stat) ** 2 * alive
+    return err.sum() / jnp.maximum(alive.sum(), 1.0)
+
+
 def gaussians_edge_loss(
     xyz_canon: jax.Array, scales: jax.Array, alive: jax.Array, k: int = 9,
     approx: bool = True, backend: str = "dense",
@@ -75,21 +104,14 @@ def gaussians_edge_loss(
         uses the TPU hardware approximate top-k (recall ~0.95), ~10x
         cheaper than exact top_k over the padded capacity.
       * backend="window": Morton-curve windowed candidates, O(N*W) —
-        the only backend that stays in budget at reference-scale
-        capacity (>=100k gaussians); <1% statistic error on
-        surface-like clouds (ops/knn.py::knn_window_stat).
+        sub-quadratic but approximate: measured ~85% true-NN recall
+        and ~5-7% mean statistic error on dense surface clouds at
+        window=256 (ops/knn.py::knn_window_stat, tests/test_ops.py);
+        opt-in until the accuracy is fixed.
     """
-    if backend == "window":
-        edge_len = jax.lax.stop_gradient(
-            knn_window_stat(xyz_canon, k, valid=alive > 0))
-    else:
-        dists, idx = knn(xyz_canon, k, valid=alive > 0, approx=approx)
-        # idx[:, 0] is self; mean over the K-1 neighbors
-        edge_len = jax.lax.stop_gradient(
-            jnp.sqrt(jnp.maximum(dists[:, 1:], 1e-24)).mean(axis=1)
-        )
-    err = (scales[:, 0] - edge_len) ** 2 * alive
-    return err.sum() / jnp.maximum(alive.sum(), 1.0)
+    stat = edge_stat(xyz_canon, alive, k=k, approx=approx,
+                     backend=backend)
+    return gaussians_edge_loss_from_stat(stat, scales, alive)
 
 
 def gaussians_edge_loss_rows(

@@ -260,6 +260,27 @@ def get_gs_attrs(
     }
 
 
+def get_canon_xyz(
+    params: AvatarParams,
+    buffers: AvatarBuffers,
+    cfg: AvatarConfig,
+) -> jax.Array:
+    """Canonical gaussian centers only — triplane + geometry decoder,
+    no appearance decode, no scale post-processing.
+
+    Used by the chunk-head KNN edge statistic (train/step.py): the
+    statistic is stop-gradient'd (reference loss_items.py:73-83
+    .detach()) and consumed once per scan chunk, so it only needs the
+    positions, not the full attribute set.
+    """
+    feats = triplane_features(params.triplane, params.xyz, cfg.triplane)
+    geo = geometry_decoder(params.geometry_dec, feats, cfg.decoder)
+    offsets = geo["xyz_offsets"]
+    if cfg.offset_clamp > 0:
+        offsets = cfg.offset_clamp * jnp.tanh(offsets / cfg.offset_clamp)
+    return params.xyz + offsets
+
+
 def avatar_forward(
     params: AvatarParams,
     buffers: AvatarBuffers,

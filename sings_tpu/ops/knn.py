@@ -9,11 +9,13 @@ sings/rec/losses/loss_items.py:73). Two designs:
   * knn_window_stat: Morton-sorted windowed candidates — O(N*W). Points
     are sorted along a 30-bit Morton curve; each point's K neighbors
     are searched only among the W nearest positions along the curve.
-    The curve's locality makes the top-k statistic accurate to ~1% for
-    surface-like clouds, and the KNN edge-length regularizer consumes
-    a stop-gradient'd MEAN of K-1 distances (loss_items.py:73-83
-    .detach()), so occasional rank misses are invisible. This is what
-    unlocks reference-scale capacity (>=100k gaussians) at TPU speed.
+    The curve's locality keeps the statistic usable but NOT exact:
+    measured ~85% true-NN recall and ~5-7% mean statistic error on
+    dense surface clouds at window=256 (tests/test_ops.py, trainer.py)
+    — the KNN edge-length regularizer consumes a stop-gradient'd MEAN
+    of K-1 distances (loss_items.py:73-83 .detach()), which absorbs
+    rank misses but not the systematic overestimate in thin regions.
+    Kept opt-in (tpu.knn_backend=window) until accuracy is fixed.
 """
 from __future__ import annotations
 
@@ -115,11 +117,12 @@ def knn_window_stat(points: jax.Array, k: int, *,
     of knn()'s O(N^2) dense matrix: after sorting along the curve, each
     point's candidates are the `window + block` sorted positions
     around its own. Approximate — curve discontinuities can hide a true
-    neighbor — but the MEAN-of-(k-1) statistic is insensitive (<1%
-    relative error on surface-like clouds at window=256, see
-    tests/test_knn.py), and the regularizer detaches it anyway
-    (loss_items.py:73-83). Returns (N,) in ORIGINAL point order;
-    invalid points get 0.
+    neighbor: measured ~85% true-NN recall and a ~10% mean-error bound
+    on a dense capsule cloud at window=256
+    (tests/test_ops.py::test_knn_window_stat_surface_cloud_accuracy);
+    the regularizer detaches the statistic (loss_items.py:73-83) so the
+    error biases the scale target rather than destabilizing training.
+    Returns (N,) in ORIGINAL point order; invalid points get 0.
     """
     n = points.shape[0]
     assert n % block == 0, (n, block)

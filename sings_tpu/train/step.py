@@ -28,8 +28,8 @@ import optax
 from ..losses.lpips import LPIPSParams, lpips_distance
 from ..losses.photometric import PhotometricWeights, photometric_loss
 from ..losses.regularizers import (
-    L2NormConfig, RegionLaplacian, gaussians_edge_loss, l2_norm_loss,
-    mesh_edge_loss,
+    L2NormConfig, RegionLaplacian, gaussians_edge_loss,
+    gaussians_edge_loss_from_stat, l2_norm_loss, mesh_edge_loss,
 )
 from ..model.avatar import (
     AvatarBuffers, AvatarConfig, AvatarParams, avatar_forward,
@@ -57,8 +57,14 @@ class StepConfig(NamedTuple):
     opt_app_from: int
     opacity_norm_from: int        # max(prune_until, densify_until)
     knn_k: int = 9
-    # "dense" (blocked O(N^2) matrix) or "window" (Morton-curve
-    # candidates, O(N*W)) — see losses.regularizers.gaussians_edge_loss
+    # "dense": blocked O(N^2) matrix every step.
+    # "window": Morton-curve candidates, O(N*W), ~85% recall (opt-in).
+    # "chunk": exact dense statistic computed ONCE per scan chunk and
+    #   held constant across its inner_steps (the statistic is
+    #   stop-gradient'd and canonical positions move negligibly within
+    #   a chunk) — amortizes the ~31 ms @128k dense KNN by inner_steps.
+    #   Single-step dispatches (edge_stat unavailable) fall back to
+    #   dense. See losses.regularizers.{edge_stat,gaussians_edge_loss}.
     knn_backend: str = "dense"
 
 
@@ -108,6 +114,9 @@ def make_train_step(
         region_lap_color: RegionLaplacian,
         lap_pos_w: jax.Array,     # (R,) region weights
         lap_color_w: jax.Array,
+        edge_stat: jax.Array | None = None,  # (capacity,) precomputed
+        # chunk-head KNN statistic (knn_backend="chunk"); None = compute
+        # per-step with the configured backend
     ):
         k_bg, k_photo = jax.random.split(rng)
         bg = jax.random.uniform(k_bg, (3,))
@@ -164,11 +173,17 @@ def make_train_step(
             edge = zero if w.mesh_edge == 0 else w.mesh_edge * mesh_edge_loss(
                 jax.lax.stop_gradient(out["xyz_canon"]), buffers.edges,
                 buffers.edge_valid)
-            connect = zero if w.gaussian_connect == 0 else (
-                w.gaussian_connect * gaussians_edge_loss(
+            if w.gaussian_connect == 0:
+                connect = zero
+            elif edge_stat is not None:
+                connect = w.gaussian_connect * gaussians_edge_loss_from_stat(
+                    edge_stat, out["scales"], alive)
+            else:
+                connect = w.gaussian_connect * gaussians_edge_loss(
                     jax.lax.stop_gradient(out["xyz_canon"]),
                     out["scales"], alive, k=step_cfg.knn_k,
-                    backend=step_cfg.knn_backend))
+                    backend=("dense" if step_cfg.knn_backend == "chunk"
+                             else step_cfg.knn_backend))
 
             # position + hand laplacians share region_lap_pos's table:
             # fuse them into one neighbor gather (loss_fused)
@@ -253,7 +268,7 @@ def make_train_step(
     return train_step_body
 
 
-def make_train_scan(train_step_inner):
+def make_train_scan(train_step_inner, stat_fn=None):
     """Chain several training steps in one dispatch via lax.scan.
 
     Host<->device dispatch latency (tens of ms on tunneled TPU
@@ -266,18 +281,24 @@ def make_train_scan(train_step_inner):
     (params, buffers, opt_state, cache, batch, rng, step, sh_deg,
      lap_pos, lap_color, lap_pos_w, lap_color_w) -> (params, buffers,
      opt_state, metrics, render).
+
+    stat_fn (optional): (params, buffers) -> (capacity,) KNN edge
+    statistic, evaluated ONCE at the chunk head and held constant for
+    every step in the chunk (knn_backend="chunk" amortization).
     """
     @functools.partial(jax.jit, static_argnums=(), donate_argnums=(0, 1, 2))
     def scan_steps(params, buffers, opt_state, cache, batches, rngs,
                    step0, active_sh_degree, region_lap_pos,
                    region_lap_color, lap_pos_w, lap_color_w):
+        es = stat_fn(params, buffers) if stat_fn is not None else None
+
         def body(carry, x):
             params, buffers, opt_state, i = carry
             batch, rng = x
             params, buffers, opt_state, metrics, _ = train_step_inner(
                 params, buffers, opt_state, cache, batch, rng,
                 step0 + i, active_sh_degree, region_lap_pos,
-                region_lap_color, lap_pos_w, lap_color_w)
+                region_lap_color, lap_pos_w, lap_color_w, edge_stat=es)
             return (params, buffers, opt_state, i + 1), metrics
 
         (params, buffers, opt_state, _), metrics = jax.lax.scan(

@@ -257,14 +257,18 @@ class Trainer:
             lap_impose_from=int(loss_cfg.laplacian.impose_from_iter),
         )
         dc = hcfg.density_control.hybrid
+        self.inner_steps = int(cfg.tpu.get("inner_steps", 1) or 1)
         knn_backend = str(cfg.tpu.get("knn_backend", "auto"))
         if knn_backend == "auto":
-            # "window" (Morton-curve, O(N*W)) currently measures ~85%
-            # true-NN recall on dense surface clouds (mean statistic
-            # error ~5-7%, p99 much worse in thin regions) — keep the
-            # exact dense backend until that is fixed; opt in with
-            # tpu.knn_backend=window
-            knn_backend = "dense"
+            # "chunk": the EXACT dense statistic computed once per scan
+            # chunk and held constant across its inner_steps — the
+            # statistic is stop-gradient'd (loss_items.py:73-83
+            # .detach()) and canonical positions move negligibly in 8
+            # steps, so this amortizes the O(N^2) KNN (~31 ms @128k)
+            # by inner_steps with no accuracy loss at the steps where
+            # it is computed. ("window" Morton remains opt-in: ~85%
+            # true-NN recall / ~5-7% mean statistic error.)
+            knn_backend = "chunk" if self.inner_steps > 1 else "dense"
         self.step_cfg = step_cfg = StepConfig(
             weights=weights,
             opt_geo_from=hcfg.opt_geo_from,
@@ -294,8 +298,16 @@ class Trainer:
                                   donate_argnums=(0, 1, 2))
         from .step import make_train_scan
 
-        self.train_scan = make_train_scan(self.train_step_body)
-        self.inner_steps = int(cfg.tpu.get("inner_steps", 1) or 1)
+        stat_fn = None
+        if knn_backend == "chunk":
+            from ..losses.regularizers import edge_stat
+            from ..model.avatar import get_canon_xyz
+
+            def stat_fn(params, buffers):  # noqa: F811
+                xyz = get_canon_xyz(params, buffers, self.avatar_cfg)
+                return edge_stat(xyz, buffers.alive,
+                                 k=step_cfg.knn_k)
+        self.train_scan = make_train_scan(self.train_step_body, stat_fn)
 
         # ---------------- optional (dp, gs) device mesh (dist/)
         mesh_cfg = dict(cfg.tpu.get("mesh", {}) or {})
@@ -341,7 +353,19 @@ class Trainer:
         self._rebuild_laplacians()
 
         self.density_cfg = dict(dc)
+        # pre-load any existing results json so a post-hoc validate()
+        # (scripts/eval_refined.py) merges its row instead of
+        # overwriting the run's recorded metric history
         self.eval_metrics = {}
+        _run_mode = "eval" if cfg.get("eval") else "train"
+        _res_path = os.path.join(self.logdir, f"results_{_run_mode}.json")
+        if os.path.exists(_res_path):
+            try:
+                with open(_res_path) as fh:
+                    self.eval_metrics = json.load(fh)
+            except Exception as e:
+                print(f"[init] could not reload {_res_path}: {e}",
+                      flush=True)
 
         # auto-resume (graceful on shape mismatch, like the reference's
         # load_state_dict fallback, sings_hybrid.py:201-237)
