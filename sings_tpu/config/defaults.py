@@ -88,6 +88,12 @@ DEFAULTS = {
             "num_patches": 4,
             "patch_size": 128,
             "use_patches": 1,
+            # weight-free multi-scale gradient L1 on the masked patches
+            # (losses/photometric.py::grad_pyramid_distance) — in-env
+            # substitute for pretrained-LPIPS texture gradients; not in
+            # the reference (deviation documented in PARITY.md)
+            "grad_pyramid_w": 0.0,
+            "grad_pyramid_levels": 3,
             "mesh_edge": 1e4,
             "gaussian_connect": 5e3,
             "l2_norm": {

@@ -72,12 +72,47 @@ def sample_patches(
     return tuple(crop(img) for img in images)
 
 
+def grad_pyramid_distance(pred: jax.Array, gt: jax.Array,
+                          levels: int = 3) -> jax.Array:
+    """Weight-free perceptual distance: L1 between image gradients over
+    a pyramid of scales, (B, C, P, P) -> scalar.
+
+    Stands in for the reference's LPIPS-VGG patch term (loss.py:41-92,
+    its high-frequency texture signal) when no pretrained weights are
+    obtainable: finite-difference gradients compare local structure
+    (edges/texture) rather than absolute color, and the 2x-downsampled
+    levels extend that to coarser structure — the same multi-scale
+    edge-statistics principle, no learned features. A plain masked L1
+    averages away texture misalignment; this term penalizes it.
+    """
+    total = 0.0
+    for lvl in range(levels):
+        pdx = pred[..., :, 1:] - pred[..., :, :-1]
+        gdx = gt[..., :, 1:] - gt[..., :, :-1]
+        pdy = pred[..., 1:, :] - pred[..., :-1, :]
+        gdy = gt[..., 1:, :] - gt[..., :-1, :]
+        total = total + jnp.abs(pdx - gdx).mean() + \
+            jnp.abs(pdy - gdy).mean()
+        if lvl < levels - 1:
+            # 2x average-pool both (reduce_window keeps this fused)
+            pool = lambda x: jax.lax.reduce_window(  # noqa: E731
+                x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2),
+                "VALID") * 0.25
+            pred, gt = pool(pred), pool(gt)
+    return total / levels
+
+
 class PhotometricWeights(NamedTuple):
     l1: float = 0.8
     ssim: float = 0.2
     lpips: float = 1.0
     num_patches: int = 4
     patch_size: int = 128
+    # weight-free multi-scale gradient L1 on the same masked patches
+    # (see grad_pyramid_distance) — the in-env substitute for the
+    # pretrained-LPIPS texture signal; 0 = off
+    grad_pyramid: float = 0.0
+    grad_pyramid_levels: int = 3
 
 
 def photometric_loss(
@@ -104,7 +139,8 @@ def photometric_loss(
     if weights.ssim > 0:
         losses["ssim"] = weights.ssim * ssim_loss(pred, gt, mask)
         total = total + losses["ssim"]
-    if weights.lpips > 0 and lpips_fn is not None:
+    use_lpips = weights.lpips > 0 and lpips_fn is not None
+    if use_lpips or weights.grad_pyramid > 0:
         k_bg, k_patch = jax.random.split(rng)
         noise = jax.random.uniform(k_bg, pred.shape, pred.dtype)
         pred_bg = pred * m + noise * (1.0 - m)
@@ -113,8 +149,14 @@ def photometric_loss(
             k_patch, mask, (pred_bg, gt_bg),
             num_patches=weights.num_patches, patch_size=weights.patch_size,
         )
-        losses["lpips_patch"] = weights.lpips * lpips_fn(
-            pred_p.clip(max=1.0), gt_p
-        ).mean()
-        total = total + losses["lpips_patch"]
+        if use_lpips:
+            losses["lpips_patch"] = weights.lpips * lpips_fn(
+                pred_p.clip(max=1.0), gt_p
+            ).mean()
+            total = total + losses["lpips_patch"]
+        if weights.grad_pyramid > 0:
+            losses["grad_pyr"] = weights.grad_pyramid * \
+                grad_pyramid_distance(pred_p.clip(max=1.0), gt_p,
+                                      weights.grad_pyramid_levels)
+            total = total + losses["grad_pyr"]
     return total, losses

@@ -331,6 +331,8 @@ class RefineConfig(NamedTuple):
     scan_chunk: int = 64          # steps per device dispatch (long
                                   # single programs fault the tunneled
                                   # TPU worker — see refine_smpl body)
+    max_retries: int = 4          # device-fault retries per chunk,
+                                  # halving scan_chunk each time
 
 
 def auto_splat_scale(template: DeviceTemplate) -> float:
@@ -524,18 +526,66 @@ def refine_smpl(
     # 300 steps host-stepped are clean — scripts/repro_refine_crash*.py).
     # Chunks of <=64 steps keep each dispatch seconds-long; the chunk
     # body compiles once and the remainder (if any) once more.
+    #
+    # Residual faults are RETRIED: each completed chunk snapshots
+    # params/opt_state to host numpy; on a device fault (UNAVAILABLE /
+    # "worker process crashed" — the r3b run needed three manual
+    # launches, VERDICT r3 weak #3) the state is re-uploaded from the
+    # snapshot and the chunk re-dispatched with scan_chunk halved (the
+    # fault is runtime-length-dependent, so shorter programs are the
+    # known mitigation).
     chunk_len = int(cfg.scan_chunk)
     params = params0
+    snap = jax.tree.map(np.asarray, params0)
+    opt_snap = jax.tree.map(np.asarray, opt_state)
     loss_chunks = []
     done = 0
+    retries = 0
     while done < cfg.steps:
         ln = min(chunk_len, cfg.steps - done)
-        params, opt_state, losses_c = run(
-            params, opt_state, jnp.int32(done), ln)
-        loss_chunks.append(losses_c)
+        try:
+            if _fault_hook is not None:
+                _fault_hook(done)
+            p_new, o_new, losses_c = run(
+                params, opt_state, jnp.int32(done), ln)
+            # materialize to host: forces program completion (faults
+            # surface here) and doubles as the resume snapshot
+            losses_np = np.asarray(losses_c)
+            snap = jax.tree.map(np.asarray, p_new)
+            opt_snap = jax.tree.map(np.asarray, o_new)
+        except Exception as e:  # noqa: BLE001 — filtered below
+            if not _is_device_fault(e) or retries >= cfg.max_retries:
+                raise
+            retries += 1
+            chunk_len = max(1, chunk_len // 2)
+            print(f"[refine] device fault at step {done} "
+                  f"({type(e).__name__}); retry {retries}/"
+                  f"{cfg.max_retries} with scan_chunk={chunk_len}",
+                  flush=True)
+            params = {k: jnp.asarray(v) for k, v in snap.items()}
+            opt_state = jax.tree.map(jnp.asarray, opt_snap)
+            continue
+        params, opt_state = p_new, o_new
+        loss_chunks.append(losses_np)
         done += ln
-    losses = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 \
+    losses = np.concatenate(loss_chunks) if len(loss_chunks) > 1 \
         else loss_chunks[0]
     out = {k: np.asarray(v) for k, v in params.items()}
     out["losses"] = np.asarray(losses)
     return out
+
+
+# test hook: called with the chunk's start step before each dispatch;
+# tests inject a fault by setting this to a raising callable
+_fault_hook = None
+
+
+_FAULT_SIGNATURES = ("UNAVAILABLE", "DATA_LOSS", "DataLoss",
+                     "worker process crashed", "INTERNAL",
+                     "DEADLINE_EXCEEDED")
+
+
+def _is_device_fault(e: Exception) -> bool:
+    """Heuristic: runtime faults of the device/worker/tunnel, as
+    opposed to programming errors — only the former are retryable."""
+    return any(s in str(e) for s in _FAULT_SIGNATURES)

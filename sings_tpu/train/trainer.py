@@ -248,6 +248,9 @@ class Trainer:
                 patch_size=min(loss_cfg.patch_size,
                                min(self.camera.height, self.camera.width)
                                // 2 * 2),
+                grad_pyramid=float(loss_cfg.get("grad_pyramid_w", 0.0)),
+                grad_pyramid_levels=int(
+                    loss_cfg.get("grad_pyramid_levels", 3)),
             ),
             l2=L2NormConfig(**{k: float(v) for k, v in loss_cfg.l2_norm.items()}),
             mesh_edge=float(loss_cfg.mesh_edge),

@@ -435,3 +435,47 @@ def test_ssim_grad_finite_on_flat_regions():
         jnp.zeros((3, 64, 64)))
     assert np.isfinite(np.asarray(g2)).all()
     assert float(ssim(jnp.asarray(gt), jnp.asarray(gt))) == 1.0
+
+
+def test_grad_pyramid_distance():
+    """Zero for identical images; larger for a blurred copy than for a
+    small uniform brightness shift (it measures structure, not color)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sings_tpu.losses.photometric import grad_pyramid_distance
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32))
+    assert float(grad_pyramid_distance(img, img)) == 0.0
+
+    # 3x3 box blur kills high-frequency gradients
+    k = jnp.ones((1, 1, 3, 3)) / 9.0
+    blurred = jax.lax.conv_general_dilated(
+        img.reshape(6, 1, 32, 32), k, (1, 1), "SAME").reshape(2, 3, 32, 32)
+    d_blur = float(grad_pyramid_distance(blurred, img))
+    d_shift = float(grad_pyramid_distance(img + 0.05, img))
+    assert d_blur > 5 * d_shift > 0.0
+    # differentiable
+    g = jax.grad(lambda p: grad_pyramid_distance(p, img))(blurred)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_photometric_grad_pyramid_term():
+    import jax
+    import jax.numpy as jnp
+
+    from sings_tpu.losses.photometric import (
+        PhotometricWeights, photometric_loss,
+    )
+
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.rand(3, 64, 64).astype(np.float32))
+    gt = jnp.asarray(rng.rand(3, 64, 64).astype(np.float32))
+    mask = jnp.ones((64, 64))
+    w = PhotometricWeights(l1=0.0, ssim=0.0, lpips=0.0, grad_pyramid=1.0,
+                           patch_size=32, num_patches=2)
+    total, d = photometric_loss(jax.random.PRNGKey(0), pred, gt, mask,
+                                jnp.zeros(3), w, None)
+    assert "grad_pyr" in d and float(total) > 0
+    assert np.isfinite(float(total))
