@@ -39,32 +39,82 @@ GATHER_F32_PER_GAUSS = 68  # dist/train_sharded._GATHER_KEYS payload
 ICI_GBPS = 100.0           # conservative single-direction budget
 
 
-def time_strip(gs):
-    h = hw // gs
-    # per-rank pair budget scales with the strip's tile count
-    mp = max(32768, 262144 // gs)
-    cam = make_camera(np.eye(4), height=h, width=hw, fovx=0.9, fovy=0.9)
+from sings_tpu.dist.shard import camera_strip  # noqa: E402
 
-    def loss(means, scales, opac, shs):
-        out = rasterize(means, scales, quats, opac, shs, cam, sh_degree=3,
+cam_full = make_camera(np.eye(4), height=hw, width=hw, fovx=0.9, fovy=0.9)
+
+
+def strip_loss(cam, mp):
+    def loss(means, scales, opac, shs, proj):
+        c = cam._replace(proj=proj)
+        out = rasterize(means, scales, quats, opac, shs, c, sh_degree=3,
                         bg=bg, backend="pallas", tile=16, chunk=128,
                         max_span=3, max_pairs=mp)
         return jnp.sum(out["render"] ** 2)
 
-    g = jax.grad(loss, argnums=(0, 1, 2, 3))
-    return device_time(g, (means, scales, opac, shs), k1=2, k2=10) * 1e3
+    return loss
 
 
-t_full = time_strip(1)
+def time_gs(gs):
+    """Time ALL gs strips of the REAL image split in one program
+    (lax.map over strip projections — one compile per gs); returns
+    (mean strip ms, max-strip estimate from per-strip pair counts).
+
+    The lockstep critical path is the MAX rank; pairs ~ walk time, so
+    max_est = mean * max_pairs / mean_pairs."""
+    h = hw // gs
+    mp = max(32768, 262144 // gs)
+    strips = [camera_strip(cam_full, i * h, h) for i in range(gs)]
+    projs = jnp.stack([s.proj for s in strips])
+    loss = strip_loss(strips[0], mp)
+
+    def all_strips(means, scales, opac, shs):
+        def one(proj):
+            return jax.grad(loss, argnums=(0, 1, 2, 3))(
+                means, scales, opac, shs, proj)
+
+        return jax.lax.map(one, projs)
+
+    t_all = device_time(all_strips, (means, scales, opac, shs),
+                        k1=1, k2=5) * 1e3
+    # per-strip pair counts for the max-rank estimate
+    from sings_tpu.ops.rasterizer.common import preprocess
+    from sings_tpu.ops.rasterizer.tiles import bin_gaussians
+
+    counts = []
+    for s in strips:
+        g2d = jax.jit(lambda m, sc, o, f, c=s: preprocess(
+            m, sc, quats, o, f, c, sh_degree=3))(means, scales, opac, shs)
+        b = bin_gaussians(g2d, tile=16, n_tiles_x=hw // 16,
+                          n_tiles_y=h // 16, max_span=3, align=128,
+                          max_pairs=mp)
+        counts.append(int(b.num_pairs))
+    mean_t = t_all / gs
+    max_est = mean_t * max(counts) / max(np.mean(counts), 1.0)
+    print(f"    strip pair counts: {counts}", flush=True)
+    return mean_t, max_est
+
+
+def loss_full(means, scales, opac, shs):
+    out = rasterize(means, scales, quats, opac, shs, cam_full, sh_degree=3,
+                    bg=bg, backend="pallas", tile=16, chunk=128,
+                    max_span=3, max_pairs=262144)
+    return jnp.sum(out["render"] ** 2)
+
+
+t_full = device_time(jax.grad(loss_full, argnums=(0, 1, 2, 3)),
+                     (means, scales, opac, shs), k1=2, k2=10) * 1e3
 print(f"gs=1 full {hw}x{hw}: {t_full:.2f} ms", flush=True)
 for gs in (2, 4, 8):
-    t_strip = time_strip(gs)
+    t_mean, t_max = time_gs(gs)
     coll_bytes = (n * GATHER_F32_PER_GAUSS * 4 * (gs - 1) / gs  # gather
                   * 2                                           # + transpose
                   + 2 * 3 * hw * hw * 4 / gs                    # lpips gthr
                   + 8.4e6 * 2)                                  # grad psum
     t_coll = coll_bytes / (ICI_GBPS * 1e9) * 1e3
-    eff = t_full / (gs * (t_strip + t_coll))
-    print(f"gs={gs}: strip {hw//gs}x{hw} {t_strip:.2f} ms | est coll "
-          f"{t_coll:.2f} ms | projected gs-axis eff {eff*100:.0f}%",
-          flush=True)
+    eff_mean = t_full / (gs * (t_mean + t_coll))
+    eff_max = t_full / (gs * (t_max + t_coll))
+    print(f"gs={gs}: strip {hw//gs}x{hw} mean {t_mean:.2f} ms / max est "
+          f"{t_max:.2f} ms | est coll {t_coll:.2f} ms | projected "
+          f"gs-axis eff {eff_mean*100:.0f}% (balanced) / "
+          f"{eff_max*100:.0f}% (max-rank)", flush=True)

@@ -43,6 +43,14 @@ for pc in (None, 6, 5, 4):
     print(f"pair_cap={pc}: pairs={int(b.num_pairs)} "
           f"overflow={int(b.overflow)}", flush=True)
 
+# tail overflow accounting for the main_width sweep (gradient-exactness:
+# overflow must stay 0 vs the mw=6 default)
+for mw, tc in ((2, 8192), (3, 8192), (4, 4096), (6, None)):
+    b = bin_gaussians(g2d, tile=16, n_tiles_x=32, n_tiles_y=32,
+                      max_span=3, align=128, max_pairs=262144,
+                      main_width=mw, tail_capacity=tc)
+    print(f"mw={mw} tc={tc}: overflow={int(b.overflow)}", flush=True)
+
 
 def run(tag, **kw):
     def loss(means, scales, opac, shs):
@@ -61,3 +69,17 @@ run("pc5 mw4", tile=16, chunk=128, max_span=3, max_pairs=262144,
     main_width=4, pair_cap=5)
 run("pc4 mw4", tile=16, chunk=128, max_span=3, max_pairs=196608,
     main_width=4, pair_cap=4)
+# glue-gather row sweep: the bwd un-sort gathers (N, main_width) prefix
+# rows + (tail_capacity, cap - mw) tail rows; after the exact cull most
+# gaussians span 1-2 tiles, so a narrow prefix + larger tail should cut
+# gather rows ~2x (rows ~7-10 ns each)
+run("mw2 tc8k", tile=16, chunk=128, max_span=3, max_pairs=262144,
+    main_width=2, tail_capacity=8192)
+run("mw3 tc8k", tile=16, chunk=128, max_span=3, max_pairs=262144,
+    main_width=3, tail_capacity=8192)
+run("pc4 mw2 tc8k", tile=16, chunk=128, max_span=3, max_pairs=196608,
+    pair_cap=4, main_width=2, tail_capacity=8192)
+# chunk sweep: smaller chunks waste less tail work per tile segment,
+# larger amortize the while-loop/anchor overhead
+run("chunk64", tile=16, chunk=64, max_span=3, max_pairs=262144)
+run("chunk256", tile=16, chunk=256, max_span=3, max_pairs=262144)
