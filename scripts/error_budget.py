@@ -132,8 +132,14 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "work/run_r3b"
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
-    cfg = load_config(DEFAULTS, "configs/human_complex.yaml",
-                      [f"output_path={outdir}"])
+    # reload the run's OWN saved config (it may deviate from the recipe
+    # — e.g. the perceptual-ablation runs train at reduced capacity)
+    import glob
+
+    saved = glob.glob(os.path.join(outdir, "*", "*",
+                                   "config_train.yaml"))
+    cfg_file = saved[0] if saved else "configs/human_complex.yaml"
+    cfg = load_config(DEFAULTS, cfg_file, [f"output_path={outdir}"])
     trainer = Trainer(cfg, mode="train")
     assert trainer.step > 0, "no checkpoint found"
     print(f"loaded step {trainer.step}", flush=True)
