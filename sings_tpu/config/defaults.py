@@ -170,6 +170,11 @@ DEFAULTS = {
         # error on dense surface clouds (see trainer.py, tests/test_ops)
         # and stays opt-in until fixed
         "knn_backend": "auto",
+        # report psnr_masked_aligned: val poses corrected by the global
+        # canonical-frame drift estimated from TRAIN frames only
+        # (learned vs preprocess-fit poses — a gauge transform, no val
+        # information; see trainer._val_gauge_alignment)
+        "val_gauge_align": True,
         # test-time val-frame pose refinement steps (0 = off, the
         # reference protocol); >0 adds psnr_masked_refined to val
         "val_pose_refine_steps": 0,

@@ -988,6 +988,42 @@ class Trainer:
             done += ln
         return {k: np.asarray(v) for k, v in pose.items()}
 
+    def _val_gauge_alignment(self):
+        """Global canonical-frame drift, estimated from TRAIN frames
+        only (no val data): training's learned per-frame poses drift
+        the avatar's canonical frame relative to the preprocess fit's
+        frame, and val frames render RAW fit poses (reference protocol,
+        gs_trainer.py:560-568) — so the whole sequence-level drift
+        shows up as val error. The drift is a gauge freedom (one rigid
+        transform shared by every frame), recoverable as the average
+        learned-vs-fit offset:
+
+            dR = polar(sum_i R_learned_i @ R_fit_i^T),
+            dt = mean_i(t_learned_i - dR @ t_fit_i)
+
+        Applying (dR, dt) + the learned shared betas to val fit poses
+        is protocol-legal (uses zero val-frame information). Returns
+        (dR (3,3), dt (3,)) numpy or None when poses aren't learned.
+        """
+        if self.params.global_orient is None:
+            return None
+        from ..ops.rotations import (axis_angle_to_matrix,
+                                     rotation_6d_to_matrix)
+
+        tr = np.asarray(self.kit.train_split)
+        r_l = np.asarray(rotation_6d_to_matrix(
+            self.params.global_orient[tr].reshape(-1, 6)))
+        r_f = np.asarray(axis_angle_to_matrix(jnp.asarray(
+            self.kit.smpl["global_orient"][tr].reshape(-1, 3))))
+        m = np.einsum("fij,fkj->ik", r_l, r_f)  # sum R_l R_f^T
+        u, _s, vt = np.linalg.svd(m)
+        d = np.sign(np.linalg.det(u @ vt))
+        dr = u @ np.diag([1.0, 1.0, d]) @ vt
+        t_l = np.asarray(self.params.transl[tr])
+        t_f = self.kit.smpl["transl"][tr]
+        dt = (t_l - t_f @ dr.T).mean(axis=0)
+        return dr.astype(np.float32), dt.astype(np.float32)
+
     def validate(self, iter_s="final"):
         # psnr/ssim/lpips follow the reference protocol exactly (black-bg
         # render vs raw GT, gs_trainer.py:549,584-586); psnr_masked is an
@@ -996,6 +1032,14 @@ class Trainer:
         refine_steps = int(self.cfg.tpu.get("val_pose_refine_steps", 0))
         if refine_steps > 0:
             metrics["psnr_masked_refined"] = []
+        gauge = None
+        if bool(self.cfg.tpu.get("val_gauge_align", True)):
+            try:
+                gauge = self._val_gauge_alignment()
+            except Exception as e:  # diagnostics must never kill a run
+                print(f"[val] gauge alignment failed: {e}", flush=True)
+        if gauge is not None:
+            metrics["psnr_masked_aligned"] = []
         for i, frame in enumerate(self.kit.val_split):
             data = {
                 "global_orient": self.kit.smpl["global_orient"][frame],
@@ -1014,6 +1058,33 @@ class Trainer:
                           / jnp.maximum(m.sum() * 3, 1.0))
             metrics["psnr_masked"].append(
                 float(20 * np.log10(1.0 / max(np.sqrt(mse_m), 1e-6))))
+            if gauge is not None:
+                try:
+                    from ..ops.rotations import (axis_angle_to_matrix,
+                                                 matrix_to_axis_angle)
+
+                    dr, dt = gauge
+                    r_val = axis_angle_to_matrix(
+                        jnp.asarray(data["global_orient"]).reshape(1, 3))[0]
+                    go_a = np.asarray(matrix_to_axis_angle(
+                        (jnp.asarray(dr) @ r_val)[None]))[0]
+                    data_a = dict(
+                        data, global_orient=go_a,
+                        transl=dr @ data["transl"] + dt,
+                        betas=np.asarray(self.params.betas)
+                        if self.params.betas is not None
+                        else data["betas"])
+                    img_a, _ = self._render_eval(data_a, bg=jnp.zeros(3))
+                    mse_a = float((((img_a - gt) * m) ** 2).sum()
+                                  / jnp.maximum(m.sum() * 3, 1.0))
+                    metrics["psnr_masked_aligned"].append(
+                        float(20 * np.log10(
+                            1.0 / max(np.sqrt(mse_a), 1e-6))))
+                except Exception as e:
+                    print(f"[val] gauge-aligned render failed: {e}",
+                          flush=True)
+                    gauge = None
+                    metrics.pop("psnr_masked_aligned", None)
             if refine_steps > 0:
                 try:
                     pose = self._val_pose_refine(data, frame, refine_steps)

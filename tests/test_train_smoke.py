@@ -76,6 +76,9 @@ def test_train_smoke(tmp_path):
     assert "psnr" in result and np.isfinite(result["psnr"])
     assert "psnr_masked_refined" in result \
         and np.isfinite(result["psnr_masked_refined"])
+    # gauge-aligned val metric (train-frame-only drift correction)
+    assert "psnr_masked_aligned" in result \
+        and np.isfinite(result["psnr_masked_aligned"])
     # checkpoint written and loadable
     ckpt = os.path.join(trainer.logdir_ckpt, "human_final.npz")
     assert os.path.exists(ckpt)
