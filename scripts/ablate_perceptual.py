@@ -32,6 +32,12 @@ VARIANTS = {
     "gp": ["human.loss.lpips_w=0.0", "human.loss.grad_pyramid_w=0.2"],
     "gp_rf": ["tpu.random_lpips_factor=0.05",
               "human.loss.grad_pyramid_w=0.2"],
+    # alpha-vs-mask supervision (boundary-ring term of the r3 budget)
+    "sil": ["tpu.random_lpips_factor=0.05",
+            "human.loss.silhouette_w=1.0"],
+    "sil_gp": ["human.loss.lpips_w=0.0",
+               "human.loss.grad_pyramid_w=0.2",
+               "human.loss.silhouette_w=1.0"],
 }
 
 COMMON = [

@@ -94,6 +94,10 @@ DEFAULTS = {
             # the reference (deviation documented in PARITY.md)
             "grad_pyramid_w": 0.0,
             "grad_pyramid_levels": 3,
+            # alpha-vs-mask supervision, mean (1-T - mask)^2 (not in
+            # the reference — PARITY.md; targets the boundary-ring
+            # error term). 0 = off
+            "silhouette_w": 0.0,
             "mesh_edge": 1e4,
             "gaussian_connect": 5e3,
             "l2_norm": {

@@ -173,10 +173,18 @@ def make_frame_loss(
             photo_d["ssim"] = pw.ssim * (
                 1.0 / n_gs - strip_ssim_local(render, gt, "gs")) * frac
             photo = photo + photo_d["ssim"]
-        if lpips is not None:
-            # LPIPS patches need the full image: gather the strips
-            # (exact transpose), sample the same patches on every rank
-            # (replicated mask + key), evaluate round-robin
+        if w.silhouette != 0:
+            # local strip contribution of mean (1 - T - mask)^2; the
+            # gs rank-sum of local sums / (H*W) equals the full-image
+            # mean (train/step.py silhouette term)
+            sil = 1.0 - pkg["transmittance"]
+            l_sil = jnp.sum((sil - ms) ** 2) / (height * width)
+            photo_d["sil"] = w.silhouette * l_sil
+            photo = photo + photo_d["sil"]
+        if lpips is not None or pw.grad_pyramid > 0:
+            # LPIPS / grad-pyramid patches need the full image: gather
+            # the strips (exact transpose), sample the same patches on
+            # every rank (replicated mask + key), evaluate round-robin
             render_full = jax.lax.all_gather(render, "gs", axis=1,
                                              tiled=True)
             k_noise, k_patch = jax.random.split(k_photo)
@@ -193,9 +201,21 @@ def make_frame_loss(
             mine = strip_idx + j * n_gs
             wj = (mine < npatch).astype(render_full.dtype)
             pidx = jnp.where(mine < npatch, mine, 0)
-            d = lpips(pred_p[pidx].clip(max=1.0), gt_p[pidx])
-            photo_d["lpips_patch"] = pw.lpips * (d * wj).sum() / npatch
-            photo = photo + photo_d["lpips_patch"]
+            if lpips is not None:
+                d = lpips(pred_p[pidx].clip(max=1.0), gt_p[pidx])
+                photo_d["lpips_patch"] = pw.lpips * (d * wj).sum() / npatch
+                photo = photo + photo_d["lpips_patch"]
+            if pw.grad_pyramid > 0:
+                from ..losses.photometric import grad_pyramid_distance
+
+                gp = jax.vmap(
+                    lambda a, b: grad_pyramid_distance(
+                        a[None].clip(max=1.0), b[None],
+                        pw.grad_pyramid_levels)
+                )(pred_p[pidx], gt_p[pidx])
+                photo_d["grad_pyr"] = pw.grad_pyramid * (
+                    gp * wj).sum() / npatch
+                photo = photo + photo_d["grad_pyr"]
 
         # ---- per-gaussian regularizers over the gathered arrays.
         # The O(N*D) table passes (region laplacians via the

@@ -252,6 +252,7 @@ class Trainer:
                 grad_pyramid_levels=int(
                     loss_cfg.get("grad_pyramid_levels", 3)),
             ),
+            silhouette=float(loss_cfg.get("silhouette_w", 0.0)),
             l2=L2NormConfig(**{k: float(v) for k, v in loss_cfg.l2_norm.items()}),
             mesh_edge=float(loss_cfg.mesh_edge),
             gaussian_connect=float(loss_cfg.gaussian_connect),

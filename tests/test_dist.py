@@ -71,7 +71,8 @@ def _sharded_setup():
     _, region_lap, lap_w = ge._dryrun_pieces(state, camera)
     step_cfg = StepConfig(
         weights=LossWeights(photometric=PhotometricWeights(
-            lpips=1.0, num_patches=4, patch_size=32)),
+            lpips=1.0, num_patches=4, patch_size=32, grad_pyramid=0.2),
+            silhouette=0.5),
         opt_geo_from=0, opt_app_from=0, opacity_norm_from=0,
     )
     lpips_params = init_random(jax.random.PRNGKey(7))
@@ -133,7 +134,8 @@ def test_sharded_mesh11_matches_single_chip_step():
             replicate(lap_w, mesh), replicate(lap_w, mesh))
 
     for k in ("loss", "photo", "reg_l2", "connect", "lap_pos", "lap_color",
-              "photo_l1", "photo_ssim", "photo_lpips_patch", "skipped"):
+              "photo_l1", "photo_ssim", "photo_lpips_patch", "photo_sil",
+              "photo_grad_pyr", "skipped"):
         np.testing.assert_allclose(float(m2[k]), float(m1[k]), rtol=2e-4,
                                    atol=1e-7, err_msg=k)
     # param deltas == -grads under sgd(1.0): compare every leaf
