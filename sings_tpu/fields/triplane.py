@@ -104,16 +104,21 @@ def triplane_features(params: dict, pts: jax.Array,
 
 
 def _fused_samples(meta, grids, q):
-    """Per-plane bilinear samples, (P, N, C), plus corner residues."""
-    samples = []
+    """Per-plane bilinear samples (P, N, C) + the gathered corner rows
+    and cell ids (saved so the backward never re-gathers — the corner
+    gather is ~10 ns/row and dominated the old bwd)."""
+    samples, corners, cells = [], [], []
     for plane, (a, b, h, w) in zip(grids, meta):
         coords = q[:, (a, b)]
         c = plane.shape[0]
         x0i, y0i, tx, ty = _corner_coords(coords, h, w)
         g4 = _corner_table(plane)
-        v = g4[y0i * (w - 1) + x0i].reshape(-1, 4, c)
+        cell = y0i * (w - 1) + x0i
+        v = g4[cell].reshape(-1, 4, c)
         samples.append(jnp.einsum("nkc,nk->nc", v, _weights(tx, ty)))
-    return samples
+        corners.append(v)
+        cells.append(cell)
+    return samples, corners, cells
 
 
 def _fused_out(meta, samples):
@@ -125,18 +130,18 @@ def _fused_out(meta, samples):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _triplane_fused(meta, grids, q):
-    return _fused_out(meta, _fused_samples(meta, grids, q))
+    return _fused_out(meta, _fused_samples(meta, grids, q)[0])
 
 
 def _triplane_fused_fwd(meta, grids, q):
-    samples = _fused_samples(meta, grids, q)
-    return _fused_out(meta, samples), (grids, q, samples)
+    samples, corners, cells = _fused_samples(meta, grids, q)
+    return _fused_out(meta, samples), (q, samples, corners, cells)
 
 
 def _triplane_fused_bwd(meta, res, gout):
-    grids, q, samples = res
+    q, samples, corners, cells = res
     n = q.shape[0]
-    c = grids[0].shape[0]
+    c = corners[0].shape[-1]
     nplanes = len(meta)
 
     # product rule: per-plane sample cotangents from the per-scale
@@ -149,16 +154,14 @@ def _triplane_fused_bwd(meta, res, gout):
 
     # ---- coordinate gradient: autodiff through each plane's weight
     # path (integer corner indices are piecewise constant) — identical
-    # per-plane math to ops/sampling.py::_sample_bwd
+    # per-plane math to ops/sampling.py::_sample_bwd. Corner rows come
+    # from the forward residuals: NO re-gather.
     dq = jnp.zeros_like(q)
-    cells = []
     wvs = []
-    for i, (plane, (a, b, h, w)) in enumerate(zip(grids, meta)):
+    for i, (a, b, h, w) in enumerate(meta):
         coords = q[:, (a, b)]
-        x0i, y0i, tx, ty = _corner_coords(coords, h, w)
-        cells.append(y0i * (w - 1) + x0i)
-        g4 = _corner_table(plane)
-        v = g4[cells[i]].reshape(n, 4, c)
+        _, _, tx, ty = _corner_coords(coords, h, w)
+        v = corners[i]
 
         def weight_path(coords, v=v, h=h, w=w):
             _, _, tx, ty = _corner_coords(coords, h, w)
@@ -192,7 +195,7 @@ def _triplane_fused_bwd(meta, res, gout):
         [jnp.zeros((1, 4 * c), gathered.dtype), gathered[:-1]], 0)
 
     dgrids = []
-    for plane, (a, b, h, w), base in zip(grids, meta, bases):
+    for (a, b, h, w), base in zip(meta, bases):
         g4grad = cellsum[base:base + (h - 1) * (w - 1)].reshape(
             h - 1, w - 1, 4, c)
         gg = jnp.zeros((h, w, c), gout.dtype)
