@@ -90,6 +90,54 @@ def main():
         return out["xyz"]
     t("pose fwd", pose_only, attrs["xyz_canon"])
 
+    # 8. KNN edge statistic at capacity (dense exact, hw approx top-k)
+    from sings_tpu.losses.regularizers import edge_stat
+
+    t("knn stat dense", lambda x: edge_stat(x, buffers.alive, k=9),
+      attrs["xyz_canon"])
+
+    # 9. photometric fwd+bwd at training config (L1+SSIM+patches)
+    from sings_tpu.losses.photometric import photometric_loss
+
+    w = tr.step_cfg.weights
+    gt = jnp.zeros((3, tr.camera.height, tr.camera.width)).at[1].set(0.4)
+    mask = jnp.ones((tr.camera.height, tr.camera.width))
+    render_img = jax.jit(render)(xyz, scales, shs)
+
+    def lpips_fn(a, b):
+        from sings_tpu.losses.lpips import lpips_distance
+        return lpips_distance(tr.lpips_params, a, b)
+
+    def photo(img):
+        tot, _ = photometric_loss(
+            jax.random.PRNGKey(0), img, gt, mask, jnp.zeros(3),
+            w.photometric, lpips_fn if w.photometric.lpips > 0 else None)
+        return tot
+    t("photometric fwd+bwd", jax.grad(photo), render_img)
+
+    # 10. laplacian terms fwd+bwd (fused pos + hands + color)
+    def laps(xyzc, shs):
+        pos = tr.region_lap.loss_fused(
+            [(xyzc, tr.lap_pos_w, None),
+             (xyzc, jnp.ones_like(tr.lap_pos_w), [6, 7])])
+        col = tr.region_lap.loss(shs[:, 0], tr.lap_color_w)
+        return pos[0] + pos[1] + col
+    t("laplacians fwd+bwd", jax.grad(laps, argnums=(0, 1)),
+      attrs["xyz_canon"], attrs["shs"])
+
+    # 11. the FULL train step body (everything, incl. optimizer)
+    batch = {"rgb": gt, "mask": mask, "idx": jnp.asarray(0),
+             "smpl_scale": jnp.ones(1)}
+
+    def full_step(params, buffers, opt_state):
+        p, b, o, m, _ = tr.train_step_body(
+            params, buffers, opt_state, tr.cache, batch,
+            jax.random.PRNGKey(1), jnp.asarray(500), jnp.asarray(0),
+            tr.region_lap, tr.region_lap, tr.lap_pos_w, tr.lap_color_w)
+        return p, b, o, m["loss"]
+    t("FULL step (per-step knn)", full_step, params, buffers,
+      tr.opt_state)
+
 
 if __name__ == "__main__":
     main()

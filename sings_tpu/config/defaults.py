@@ -179,6 +179,12 @@ DEFAULTS = {
         # (learned vs preprocess-fit poses — a gauge transform, no val
         # information; see trainer._val_gauge_alignment)
         "val_gauge_align": True,
+        # nested triplane grids (res*mult + 1 points): 3x fewer gather
+        # rows + single Morton-keyed multires backward reduction
+        # (fields/triplane.py). Changes grid parameter shapes vs the
+        # reference (PARITY.md); recipes enable it, default stays
+        # reference-shaped
+        "triplane_nested": False,
         # test-time val-frame pose refinement steps (0 = off, the
         # reference protocol); >0 adds psnr_masked_refined to val
         "val_pose_refine_steps": 0,

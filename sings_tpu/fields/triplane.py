@@ -35,6 +35,16 @@ class TriplaneConfig(NamedTuple):
     out_dim: int = 32
     multires: Sequence[int] = (1, 2, 4)
     bounds: float = 1.0  # AABB half-extent; can be reset per subject
+    # nested=True: grids carry resolution*mult + 1 points so each
+    # scale's CELL grid is exactly a 2x refinement of the previous one
+    # (reference grids, res*mult points, do NOT nest: 63/127/255
+    # cells). Nesting lets one combined corner-table row serve all
+    # scales of a plane orientation: 3 point gathers instead of 9, and
+    # ONE Morton-ordered segment reduction in the backward for all
+    # scales. A deliberate deviation (documented in PARITY.md): the
+    # field has one extra grid row/col per plane, same expressive
+    # class, different parameter shapes than the reference.
+    nested: bool = False
 
     @property
     def feat_dim(self):
@@ -49,14 +59,15 @@ COO_COMBS = list(itertools.combinations(range(3), 2))
 def init_triplane(key: jax.Array, cfg: TriplaneConfig) -> dict:
     """Uniform [0.1, 0.5) init like the reference (hexplane.py:39)."""
     grids = []
+    extra = 1 if cfg.nested else 0
     for mult in cfg.multires:
         planes = []
         for (a, b) in COO_COMBS:
             key, sub = jax.random.split(key)
             # torch layout [1, C, reso[b], reso[a]] (reversed coo_comb);
             # we store (C, H=reso[b], W=reso[a])
-            shape = (cfg.out_dim, cfg.resolution[b] * mult,
-                     cfg.resolution[a] * mult)
+            shape = (cfg.out_dim, cfg.resolution[b] * mult + extra,
+                     cfg.resolution[a] * mult + extra)
             planes.append(jax.random.uniform(sub, shape, jnp.float32,
                                              0.1, 0.5))
         grids.append(planes)
@@ -73,12 +84,39 @@ def normalize_aabb(pts: jax.Array, bounds: float) -> jax.Array:
     return (pts - bounds) * (2.0 / (-2.0 * bounds)) - 1.0
 
 
+def _nestable(grids, multires):
+    """True when every plane's CELL grid is a power-of-two 2x tower
+    (the nested fast path's prerequisite)."""
+    def pow2(v):
+        return v > 0 and (v & (v - 1)) == 0
+
+    s = len(multires)
+    if len(grids) != s or any(len(p) != 3 for p in grids):
+        return False
+    for o in range(3):
+        cells = [(grids[l][o].shape[1] - 1, grids[l][o].shape[2] - 1)
+                 for l in range(s)]
+        if not all(pow2(cy) and pow2(cx) for cy, cx in cells):
+            return False
+        for l in range(1, s):
+            if cells[l] != (2 * cells[l - 1][0], 2 * cells[l - 1][1]):
+                return False
+    return True
+
+
 def triplane_features(params: dict, pts: jax.Array,
                       cfg: TriplaneConfig, *,
                       fused: bool = True) -> jax.Array:
     """(N, 3) points -> (N, feat_dim) features."""
     q = normalize_aabb(pts, cfg.bounds)
     grids = params["grids"]
+    if fused and cfg.nested and _nestable(grids, cfg.multires):
+        meta = tuple(
+            (a, b, p.shape[1], p.shape[2])
+            for planes in grids
+            for p, (a, b) in zip(planes, COO_COMBS))
+        flat = tuple(p for planes in grids for p in planes)
+        return _triplane_nested(meta, flat, q)
     if fused and all(p.shape[1] >= 2 and p.shape[2] >= 2
                      for planes in grids for p in planes):
         meta = tuple(
@@ -208,3 +246,198 @@ def _triplane_fused_bwd(meta, res, gout):
 
 
 _triplane_fused.defvjp(_triplane_fused_fwd, _triplane_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# nested fast path (cfg.nested=True): power-of-two cell towers per plane
+# orientation let ONE combined corner-table row serve every scale, and one
+# Morton-keyed segment reduction produce every scale's grid gradients.
+#   * forward: 3 row gathers (one per orientation) instead of 3*S;
+#   * backward: 3 sorts/cumsums of (N, S*4C) instead of 3*S of (N, 4C),
+#     and corner values come from the forward residual (no re-gather).
+# Deviation from the reference grids (PARITY.md): one extra grid row/col
+# per plane so cells nest (64/128/256 cells vs 63/127/255).
+
+import numpy as _np
+
+
+def _interleave16_np(v):
+    v = v.astype(_np.int64)
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def _interleave16(v):
+    """int32 (N,) values < 2^16 -> bits spread to even positions."""
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+@functools.lru_cache(maxsize=None)
+def _morton_static(cy, cx, shift):
+    """Static per-level tables for the Morton segment reduction.
+
+    Returns (starts, ends, rank): fine-code range [starts[j], ends[j])
+    holds the points of the level cell whose sorted-code position is j,
+    and rank[y*cx + x] = that position for the row-major cell (y, x).
+    """
+    ys, xs = _np.mgrid[0:cy, 0:cx]
+    codes = (_interleave16_np(xs) | (_interleave16_np(ys) << 1)).reshape(-1)
+    order = _np.argsort(codes)
+    rank = _np.empty_like(order)
+    rank[order] = _np.arange(len(order))
+    starts = (codes[order] << (2 * shift)).astype(_np.int32)
+    ends = starts + (1 << (2 * shift))
+    return (jnp.asarray(starts), jnp.asarray(ends.astype(_np.int32)),
+            jnp.asarray(rank.astype(_np.int32)))
+
+
+def _nested_layout(meta):
+    """Per-orientation metadata: (levels, (hF, wF), shifts)."""
+    nplanes = len(meta)
+    s_scales = nplanes // 3
+    per_o = []
+    for o in range(3):
+        metas_o = [meta[l * 3 + o] for l in range(s_scales)]
+        hf, wf = metas_o[-1][2], metas_o[-1][3]
+        shifts = []
+        for (_a, _b, h, w) in metas_o:
+            shifts.append(((wf - 1) // (w - 1)).bit_length() - 1)
+        per_o.append((metas_o, (hf, wf), shifts))
+    return per_o
+
+
+def _nested_gather(meta, grids, q):
+    """Per-orientation combined-row gather.
+
+    Returns (rows (3 x (N, S*4C)), fine corner indices (3 x (x0F, y0F)))."""
+    s_scales = len(meta) // 3
+    c = grids[0].shape[0]
+    rows, fines = [], []
+    for o, (metas_o, (hf, wf), shifts) in enumerate(_nested_layout(meta)):
+        a, b = metas_o[0][0], metas_o[0][1]
+        coords = q[:, (a, b)]
+        fy, fx = hf - 1, wf - 1
+        parts = []
+        for l in range(s_scales):
+            plane = grids[l * 3 + o]
+            _aa, _bb, h, w = metas_o[l]
+            cy, cx, s = h - 1, w - 1, shifts[l]
+            g = _corner_table(plane).reshape(cy, cx, 4 * c)
+            g = jnp.broadcast_to(
+                g[:, None, :, None, :], (cy, 1 << s, cx, 1 << s, 4 * c)
+            ).reshape(fy * fx, 4 * c)
+            parts.append(g)
+        table = jnp.concatenate(parts, axis=1)  # (Fy*Fx, S*4C)
+        x0f, y0f, _, _ = _corner_coords(coords, hf, wf)
+        rows.append(table[y0f * fx + x0f])
+        fines.append((x0f, y0f))
+    return rows, fines
+
+
+def _nested_samples(meta, rows, q):
+    """Per-plane samples (scale-major plane order, like the fused path)."""
+    s_scales = len(meta) // 3
+    c4 = rows[0].shape[1] // s_scales
+    c = c4 // 4
+    n = q.shape[0]
+    samples = [None] * len(meta)
+    for o, (metas_o, _hw, _shifts) in enumerate(_nested_layout(meta)):
+        a, b = metas_o[0][0], metas_o[0][1]
+        coords = q[:, (a, b)]
+        for l, (_aa, _bb, h, w) in enumerate(metas_o):
+            _x0, _y0, tx, ty = _corner_coords(coords, h, w)
+            v = rows[o][:, l * c4:(l + 1) * c4].reshape(n, 4, c)
+            samples[l * 3 + o] = jnp.einsum(
+                "nkc,nk->nc", v, _weights(tx, ty))
+    return samples
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _triplane_nested(meta, grids, q):
+    rows, _ = _nested_gather(meta, grids, q)
+    return _fused_out(meta, _nested_samples(meta, rows, q))
+
+
+def _triplane_nested_fwd(meta, grids, q):
+    rows, fines = _nested_gather(meta, grids, q)
+    samples = _nested_samples(meta, rows, q)
+    return _fused_out(meta, samples), (q, samples, rows, fines)
+
+
+def _triplane_nested_bwd(meta, res, gout):
+    q, samples, rows, fines = res
+    n = q.shape[0]
+    s_scales = len(meta) // 3
+    c4 = rows[0].shape[1] // s_scales
+    c = c4 // 4
+
+    # product rule over each scale's Hadamard product (plane order is
+    # scale-major, identical to _triplane_fused_bwd)
+    gouts = []
+    for s in range(s_scales):
+        g_s = gout[:, s * c:(s + 1) * c]
+        v0, v1, v2 = samples[3 * s], samples[3 * s + 1], samples[3 * s + 2]
+        gouts += [g_s * v1 * v2, g_s * v0 * v2, g_s * v0 * v1]
+
+    dq = jnp.zeros_like(q)
+    dgrids = [None] * len(meta)
+    for o, (metas_o, (hf, wf), shifts) in enumerate(_nested_layout(meta)):
+        a, b = metas_o[0][0], metas_o[0][1]
+        coords = q[:, (a, b)]
+        fy, fx = hf - 1, wf - 1
+        x0f, y0f = fines[o]
+
+        # coordinate gradients + weight-cotangent rows, all levels
+        wv_parts = []
+        for l, (_aa, _bb, h, w) in enumerate(metas_o):
+            v = rows[o][:, l * c4:(l + 1) * c4].reshape(n, 4, c)
+
+            def weight_path(coords, v=v, h=h, w=w):
+                _, _, tx, ty = _corner_coords(coords, h, w)
+                return jnp.einsum("nkc,nk->nc", v, _weights(tx, ty))
+
+            _, pullback = jax.vjp(weight_path, coords)
+            (d_coords,) = pullback(gouts[l * 3 + o])
+            dq = dq.at[:, a].add(d_coords[:, 0]).at[:, b].add(
+                d_coords[:, 1])
+            _x0, _y0, tx, ty = _corner_coords(coords, h, w)
+            wv_parts.append(
+                (_weights(tx, ty)[:, :, None]
+                 * gouts[l * 3 + o][:, None, :]).reshape(n, c4))
+        wv = jnp.concatenate(wv_parts, axis=1)  # (N, S*4C)
+
+        # ONE Morton-keyed reduction for every level of this orientation
+        codes = _interleave16(x0f) | (_interleave16(y0f) << 1)
+        skey, order = jax.lax.sort_key_val(
+            codes, jnp.arange(n, dtype=jnp.int32))
+        csum = _cumsum_rows(wv[order])
+        csum = jnp.concatenate(
+            [jnp.zeros((1, wv.shape[1]), csum.dtype), csum], 0)
+        for l, (_aa, _bb, h, w) in enumerate(metas_o):
+            cy, cx = h - 1, w - 1
+            starts, ends, rank = _morton_static(cy, cx, shifts[l])
+            lo = jnp.searchsorted(skey, starts, side="left",
+                                  method="sort").astype(jnp.int32)
+            hi = jnp.searchsorted(skey, ends, side="left",
+                                  method="sort").astype(jnp.int32)
+            block = csum[:, l * c4:(l + 1) * c4]
+            cellsum = block[hi] - block[lo]      # sorted-code order
+            cellsum = cellsum[rank]              # row-major cells
+            g4grad = cellsum.reshape(cy, cx, 4, c)
+            gg = jnp.zeros((h, w, c), gout.dtype)
+            gg = gg.at[:-1, :-1].add(g4grad[:, :, 0])
+            gg = gg.at[:-1, 1:].add(g4grad[:, :, 1])
+            gg = gg.at[1:, :-1].add(g4grad[:, :, 2])
+            gg = gg.at[1:, 1:].add(g4grad[:, :, 3])
+            dgrids[l * 3 + o] = gg.transpose(2, 0, 1)
+    return tuple(dgrids), dq
+
+
+_triplane_nested.defvjp(_triplane_nested_fwd, _triplane_nested_bwd)

@@ -174,6 +174,10 @@ class Trainer:
             resolution=tuple(hcfg.kplanes.resolution),
             out_dim=hcfg.kplanes.output_coordinate_dim,
             multires=tuple(hcfg.kplanes.multires),
+            # +1 grid points so multires cells nest -> 3x fewer triplane
+            # gather rows + one fused Morton reduction in backward
+            # (fields/triplane.py nested path; PARITY.md deviation)
+            nested=bool(cfg.tpu.get("triplane_nested", False)),
         )
         dec = DecoderConfig(
             n_features=tri.feat_dim,
