@@ -286,6 +286,11 @@ def _morton_static(cy, cx, shift):
     Returns (starts, ends, rank): fine-code range [starts[j], ends[j])
     holds the points of the level cell whose sorted-code position is j,
     and rank[y*cx + x] = that position for the row-major cell (y, x).
+
+    NUMPY results on purpose: the cache is shared across jit traces,
+    and a jnp array materialized inside a traced scan body is a tracer
+    — caching it leaks it into later traces (UnexpectedTracerError,
+    found by the round-4 ablation run). Use sites convert per trace.
     """
     ys, xs = _np.mgrid[0:cy, 0:cx]
     codes = (_interleave16_np(xs) | (_interleave16_np(ys) << 1)).reshape(-1)
@@ -293,9 +298,8 @@ def _morton_static(cy, cx, shift):
     rank = _np.empty_like(order)
     rank[order] = _np.arange(len(order))
     starts = (codes[order] << (2 * shift)).astype(_np.int32)
-    ends = starts + (1 << (2 * shift))
-    return (jnp.asarray(starts), jnp.asarray(ends.astype(_np.int32)),
-            jnp.asarray(rank.astype(_np.int32)))
+    ends = (starts + (1 << (2 * shift))).astype(_np.int32)
+    return starts, ends, rank.astype(_np.int32)
 
 
 def _nested_layout(meta):
@@ -422,7 +426,11 @@ def _triplane_nested_bwd(meta, res, gout):
             [jnp.zeros((1, wv.shape[1]), csum.dtype), csum], 0)
         for l, (_aa, _bb, h, w) in enumerate(metas_o):
             cy, cx = h - 1, w - 1
-            starts, ends, rank = _morton_static(cy, cx, shifts[l])
+            starts_np, ends_np, rank_np = _morton_static(
+                cy, cx, shifts[l])
+            starts = jnp.asarray(starts_np)
+            ends = jnp.asarray(ends_np)
+            rank = jnp.asarray(rank_np)
             lo = jnp.searchsorted(skey, starts, side="left",
                                   method="sort").astype(jnp.int32)
             hi = jnp.searchsorted(skey, ends, side="left",

@@ -80,3 +80,32 @@ def test_nested_other_towers(multires):
     slow = triplane_features(params, pts, cfg, fused=False)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_nested_cross_trace_reuse():
+    """The Morton static-table cache must not leak tracers across jit
+    traces (regression: first use inside a scanned jit poisoned every
+    later trace with UnexpectedTracerError)."""
+    from sings_tpu.fields.triplane import _morton_static
+
+    _morton_static.cache_clear()
+    cfg, params, pts = make(res=4, n=64)
+
+    @jax.jit
+    def first(params, pts):
+        def step(c, _):
+            f = triplane_features(params, pts, cfg)
+            return c + jnp.sum(f), None
+
+        out, _ = jax.lax.scan(step, 0.0, None, length=2)
+        return out
+
+    @jax.jit
+    def second(params, pts):
+        g = jax.grad(lambda p: jnp.sum(
+            triplane_features(p, pts, cfg) ** 2))(params)
+        return sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+    a = float(first(params, pts))
+    b = float(second(params, pts))
+    assert np.isfinite(a) and np.isfinite(b)
