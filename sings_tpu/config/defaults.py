@@ -185,6 +185,11 @@ DEFAULTS = {
         # reference (PARITY.md); recipes enable it, default stays
         # reference-shaped
         "triplane_nested": False,
+        # region-laplacian apply backend: "gather" (neighbor tables) |
+        # "banded" (RCM-permuted banded MXU matmul, losses/
+        # regularizers.py::BandedRegionLaplacian) | "auto" (banded on
+        # the single-chip path at >= 32k capacity)
+        "laplacian_backend": "auto",
         # test-time val-frame pose refinement steps (0 = off, the
         # reference protocol); >0 adds psnr_masked_refined to val
         "val_pose_refine_steps": 0,

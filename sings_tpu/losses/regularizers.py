@@ -615,3 +615,207 @@ def shard_region_laplacian(rl: RegionLaplacian, n_gs: int,
         weights=jnp.asarray(rep(rl.weights)),
         row_start=jnp.asarray(np.arange(n_gs, dtype=np.int32) * rows),
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded region laplacian: RCM-permuted banded matmul instead of
+# neighbor-table gathers.
+#
+# The gather formulation costs ~10 ns per gathered ROW: (capacity x
+# max_degree) rows forward + the same again in the adjoint gather —
+# measured 22.7 ms/step at 128k capacity (docs/PERF.md r4 table). A
+# reverse-Cuthill-McKee ordering of the same-region edge graph bounds
+# |i - j| <= B for every edge (measured B = 296 at the r3b 120k-vertex
+# mesh), so L becomes a BANDED matrix: apply it as blocked dense
+# matmuls on the MXU (each 512-row block's band is skewed into a dense
+# (R, R+W-1) tile by a pad/reshape — no scatter), with ONE permutation
+# gather of the inputs. precision=HIGHEST is mandatory: Lx is a
+# neighbor-mean cancellation (CLAUDE.md MXU rule).
+# ---------------------------------------------------------------------------
+
+
+class BandedRegionLaplacian(NamedTuple):
+    """RegionLaplacian equivalent with banded storage (permuted order).
+
+    band/band_t: (C, W) rows of L and L^T in RCM order, W = 2B+1.
+    perm: (C,) original slot of permuted row; inv_perm its inverse.
+    label/vert_valid: per-vertex data in PERMUTED order.
+    inv_count/weights: per-region, order-free.
+    """
+
+    band: jax.Array
+    band_t: jax.Array
+    perm: jax.Array
+    inv_perm: jax.Array
+    label: jax.Array
+    vert_valid: jax.Array
+    inv_count: jax.Array
+    weights: jax.Array
+
+    def loss(self, x, region_weights=None, regions=None):
+        (out,) = self.loss_fused([(x, region_weights, regions)])
+        return out
+
+    def loss_fused(self, terms) -> list:
+        xcat = jnp.concatenate([t[0] for t in terms], axis=-1)
+        xp = _perm_rows(xcat, self.perm, self.inv_perm)
+        lx = _band_matvec(self.band, self.band_t, xp)
+        outs = []
+        f0 = 0
+        for x, region_weights, regions in terms:
+            f = x.shape[-1]
+            lxi = lx[:, f0: f0 + f]
+            f0 += f
+            per_v = jnp.sum(lxi * lxi, axis=-1) * self.vert_valid
+            w = self.weights if region_weights is None else region_weights
+            wv = (w * self.inv_count)[self.label] / f
+            if regions is not None:
+                sel = jnp.zeros(self.label.shape, bool)
+                for r in regions:
+                    sel = sel | (self.label == r)
+                wv = wv * sel.astype(x.dtype)
+            outs.append(jnp.sum(per_v * wv))
+        return outs
+
+
+@jax.custom_vjp
+def _perm_rows(x, perm, inv_perm):
+    """x[perm] whose adjoint is g[inv_perm] (permutation transpose =
+    inverse permutation — a gather, never a scatter)."""
+    return x[perm]
+
+
+def _perm_rows_fwd(x, perm, inv_perm):
+    return x[perm], (perm, inv_perm)
+
+
+def _perm_rows_bwd(res, g):
+    perm, inv_perm = res
+    return g[inv_perm], jnp.zeros_like(perm), jnp.zeros_like(inv_perm)
+
+
+_perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
+
+
+def _band_apply_raw(band, x, rblk: int = 512):
+    """y_i = sum_k band[i, k] * x[i + k - B], blocked MXU matmuls.
+
+    Each block's (R, W) band slice is skewed into a dense
+    (R, R + W - 1) tile purely with pad/reshape (flat offset algebra:
+    padding each row to W + R and reflattening at stride W + R - 1
+    lands row i's entries at columns [i, i + W)), then one matmul
+    against the padded input window.
+    """
+    c, w = band.shape
+    f = x.shape[1]
+    b = (w - 1) // 2
+    nb_ = -(-c // rblk)
+    hp = jax.lax.Precision.HIGHEST
+    xp = jnp.pad(x, ((b, b + nb_ * rblk - c), (0, 0)))
+    bandp = jnp.pad(band, ((0, nb_ * rblk - c), (0, 0)))
+
+    def block(i):
+        r0 = i * rblk
+        bb = jax.lax.dynamic_slice_in_dim(bandp, r0, rblk, 0)
+        d = jnp.pad(bb, ((0, 0), (0, rblk)))
+        d = d.reshape(-1)[: rblk * (w + rblk - 1)].reshape(
+            rblk, w + rblk - 1)
+        xw = jax.lax.dynamic_slice_in_dim(xp, r0, rblk + w - 1, 0)
+        return jnp.dot(d, xw, precision=hp,
+                       preferred_element_type=x.dtype)
+
+    out = jax.lax.map(block, jnp.arange(nb_))
+    return out.reshape(-1, f)[:c]
+
+
+@jax.custom_vjp
+def _band_matvec(band, band_t, x):
+    return _band_apply_raw(band, x)
+
+
+def _band_matvec_fwd(band, band_t, x):
+    return _band_apply_raw(band, x), (band, band_t)
+
+
+def _band_matvec_bwd(res, g):
+    band, band_t = res
+    # adjoint of y = L x is L^T g — the transposed band, same blocks
+    return (jnp.zeros_like(band), jnp.zeros_like(band_t),
+            _band_apply_raw(band_t, g))
+
+
+_band_matvec.defvjp(_band_matvec_fwd, _band_matvec_bwd)
+
+
+def build_region_laplacian_banded(
+    edges: np.ndarray,
+    vertex_label: np.ndarray,
+    region_weights: np.ndarray,
+    num_regions: int = 15,
+    pad_width: int | None = None,
+) -> BandedRegionLaplacian:
+    """Host-side RCM + device band tables (see class docstring).
+
+    pad_width: minimum W (grow-only callers keep the compiled step
+    stable across topology changes).
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    labels = np.asarray(vertex_label).astype(np.int64)
+    edges = np.asarray(edges)
+    c = labels.shape[0]
+
+    in_region = (labels >= 0) & (labels < num_regions)
+    if len(edges):
+        edge_lbl = labels[edges]
+        same = (edge_lbl[:, 0] == edge_lbl[:, 1]) & in_region[edges[:, 0]]
+        sel = edges[same]
+    else:
+        sel = np.zeros((0, 2), np.int64)
+
+    if len(sel):
+        m = coo_matrix(
+            (np.ones(len(sel) * 2),
+             (np.r_[sel[:, 0], sel[:, 1]], np.r_[sel[:, 1], sel[:, 0]])),
+            shape=(c, c)).tocsr()
+        perm = np.asarray(reverse_cuthill_mckee(m, symmetric_mode=True),
+                          dtype=np.int64)
+    else:
+        perm = np.arange(c, dtype=np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(c)
+
+    src = np.concatenate([sel[:, 0], sel[:, 1]])
+    dst = np.concatenate([sel[:, 1], sel[:, 0]])
+    ps, pd = inv[src], inv[dst]
+    bw = int(np.abs(ps - pd).max()) if len(ps) else 0
+    w = 2 * bw + 1
+    if pad_width is not None:
+        w = max(w, pad_width)
+    b = (w - 1) // 2
+
+    deg = np.bincount(ps, minlength=c).astype(np.float32)
+    wval = 1.0 / np.maximum(deg[ps], 1.0)
+
+    band = np.zeros((c, w), np.float32)
+    band_t = np.zeros((c, w), np.float32)
+    np.add.at(band, (ps, pd - ps + b), wval)
+    np.add.at(band_t, (pd, ps - pd + b), wval)
+    valid_p = in_region[perm]
+    diag = np.where(valid_p, -1.0, 0.0).astype(np.float32)
+    band[np.arange(c), b] += diag
+    band_t[np.arange(c), b] += diag
+
+    counts = np.bincount(labels[in_region], minlength=num_regions)
+    return BandedRegionLaplacian(
+        band=jnp.asarray(band), band_t=jnp.asarray(band_t),
+        perm=jnp.asarray(perm.astype(np.int32)),
+        inv_perm=jnp.asarray(inv.astype(np.int32)),
+        label=jnp.asarray(
+            np.where(in_region, labels, 0)[perm].astype(np.int32)),
+        vert_valid=jnp.asarray(valid_p.astype(np.float32)),
+        inv_count=jnp.asarray(
+            (1.0 / np.maximum(counts, 1)).astype(np.float32)),
+        weights=jnp.asarray(region_weights.astype(np.float32)),
+    )

@@ -516,19 +516,48 @@ class Trainer:
             self._lap_rows_pad = max(self._lap_rows_pad or 0,
                                      self.region_lap.neighbors.shape[0])
         elif lap_type == "standard":
-            # grow-only neighbor-table width so the padded shapes (and
-            # the compiled step) stay stable across topology changes
-            self.region_lap = build_region_laplacian(
-                edges, labels, np.asarray(self.lap_pos_w), num_regions=15,
-                pad_to=self._lap_pad or 8)
+            backend = str(self.cfg.tpu.get("laplacian_backend", "auto"))
+            if backend == "auto":
+                # banded (RCM + blocked MXU matmul) wins when the
+                # gather row count is large; the mesh path keeps the
+                # gather tables (its row-split sharding relies on them)
+                backend = ("banded" if self.mesh is None
+                           and self.buffers.alive.shape[0] >= 32768
+                           else "gather")
+            if backend == "banded":
+                from ..losses.regularizers import (
+                    build_region_laplacian_banded,
+                )
+
+                self.region_lap = build_region_laplacian_banded(
+                    edges, labels, np.asarray(self.lap_pos_w),
+                    num_regions=15,
+                    pad_width=getattr(self, "_lap_band_pad", None))
+                # grow-only width + 12% headroom: topology changes move
+                # the RCM bandwidth a little; keep the compiled step
+                w_now = self.region_lap.band.shape[1]
+                pad = getattr(self, "_lap_band_pad", None) or 0
+                self._lap_band_pad = max(pad, int(w_now * 1.12) + 1)
+                if w_now < self._lap_band_pad and pad == 0:
+                    self.region_lap = build_region_laplacian_banded(
+                        edges, labels, np.asarray(self.lap_pos_w),
+                        num_regions=15, pad_width=self._lap_band_pad)
+            else:
+                # grow-only neighbor-table width so the padded shapes
+                # (and the compiled step) stay stable across topology
+                # changes
+                self.region_lap = build_region_laplacian(
+                    edges, labels, np.asarray(self.lap_pos_w),
+                    num_regions=15, pad_to=self._lap_pad or 8)
         else:
             # 'norm' raises in the reference too (loss_items.py:111-113)
             raise NotImplementedError(
                 f"laplacian.type={lap_type!r} (reference supports "
                 "'standard'; 'cotangent'; 'norm' is NotImplementedError "
                 "there as well)")
-        self._lap_pad = max(self._lap_pad or 8,
-                            self.region_lap.neighbors.shape[1])
+        if hasattr(self.region_lap, "neighbors"):
+            self._lap_pad = max(self._lap_pad or 8,
+                                self.region_lap.neighbors.shape[1])
         if self.mesh is not None:
             if lap_type != "standard":
                 raise NotImplementedError(

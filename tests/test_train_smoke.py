@@ -202,3 +202,18 @@ def test_multi_step_scan_path(tmp_path):
     result = trainer.train()
     assert trainer.step == 12
     assert np.isfinite(result["psnr"])
+
+
+def test_banded_laplacian_backend(tmp_path):
+    """Forced banded laplacian backend trains identically-shaped steps
+    with finite losses (auto only enables it at >=32k capacity)."""
+    from sings_tpu.train.trainer import Trainer
+
+    cfg = make_cfg(str(tmp_path), steps=4)
+    cfg.tpu.laplacian_backend = "banded"
+    trainer = Trainer(cfg)
+    from sings_tpu.losses.regularizers import BandedRegionLaplacian
+
+    assert isinstance(trainer.region_lap, BandedRegionLaplacian)
+    result = trainer.train()
+    assert np.isfinite(result["psnr"])
