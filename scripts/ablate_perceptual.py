@@ -68,7 +68,7 @@ def main():
     for name, over in VARIANTS.items():
         out = os.path.join(ROOT, name)
         shutil.rmtree(out, ignore_errors=True)
-        logdir = os.path.join(out, "v_release", "f_2")
+        logdir = os.path.join(out, "abl", "f_2")  # exp_name=abl
         os.makedirs(logdir, exist_ok=True)
         if fit_donor and os.path.exists(fit_donor):
             shutil.copy(fit_donor, os.path.join(logdir,
