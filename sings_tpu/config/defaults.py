@@ -190,6 +190,12 @@ DEFAULTS = {
         # regularizers.py::BandedRegionLaplacian) | "auto" (banded on
         # the single-chip path at >= 32k capacity)
         "laplacian_backend": "auto",
+        # scale applied to loss.lpips_w when only RANDOM-FEATURE LPIPS
+        # is available (no pretrained weights). The r4 ablation measured
+        # the random-feature term 0.3-0.6 dB WORSE than no perceptual
+        # term at 0.05x and 0.5x (work/ablate_perceptual/summary.json);
+        # recipes set 0.0 and use grad_pyramid + silhouette instead
+        "random_lpips_factor": 0.05,
         # test-time val-frame pose refinement steps (0 = off, the
         # reference protocol); >0 adds psnr_masked_refined to val
         "val_pose_refine_steps": 0,
