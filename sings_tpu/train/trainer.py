@@ -533,6 +533,8 @@ class Trainer:
                     edges, labels, np.asarray(self.lap_pos_w),
                     num_regions=15,
                     pad_width=getattr(self, "_lap_band_pad", None))
+                print(f"[laplacian] banded backend, band width "
+                      f"{self.region_lap.band.shape[1]}", flush=True)
                 # grow-only width + 12% headroom: topology changes move
                 # the RCM bandwidth a little; keep the compiled step
                 w_now = self.region_lap.band.shape[1]
