@@ -96,3 +96,8 @@ run("pc4", pair_cap=4)
 run("pc3", pair_cap=3)
 run("pc2", pair_cap=2)
 run("span2", max_span=2)
+# tile-size sweep: trained splats are tiny (p99 scale ~0.006 -> a few
+# px), so each pair's 16x16=256-px walk is mostly wasted; tile=8 costs
+# 64 px/pair (at half lane occupancy) and slightly more pairs
+run("tile8", tile=8)
+run("tile8 pc4", tile=8, pair_cap=4)
