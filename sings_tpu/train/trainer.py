@@ -531,19 +531,24 @@ class Trainer:
 
                 self.region_lap = build_region_laplacian_banded(
                     edges, labels, np.asarray(self.lap_pos_w),
-                    num_regions=15,
-                    pad_width=getattr(self, "_lap_band_pad", None))
-                print(f"[laplacian] banded backend, band width "
-                      f"{self.region_lap.band.shape[1]}", flush=True)
-                # grow-only width + 12% headroom: topology changes move
-                # the RCM bandwidth a little; keep the compiled step
-                w_now = self.region_lap.band.shape[1]
-                pad = getattr(self, "_lap_band_pad", None) or 0
-                self._lap_band_pad = max(pad, int(w_now * 1.12) + 1)
-                if w_now < self._lap_band_pad and pad == 0:
+                    num_regions=15)
+                # Grow-only, 64-BUCKETED half-width from the RAW RCM
+                # bandwidth. Deriving the headroom from the padded width
+                # compounded 12% per rebuild (r4 run: 463->519->582->652)
+                # and recompiled the whole train step at EVERY densify
+                # (~5 min each on the remote backend). Bucketing the raw
+                # half-width keeps the compiled shape stable across
+                # densifies unless the mesh genuinely outgrows a bucket.
+                bw_raw = (self.region_lap.band.shape[1] - 1) // 2
+                bw_pad = -(-max(int(bw_raw * 1.12), 1) // 64) * 64
+                pad = getattr(self, "_lap_band_pad", 0)
+                self._lap_band_pad = max(pad, 2 * bw_pad + 1)
+                if self._lap_band_pad > self.region_lap.band.shape[1]:
                     self.region_lap = build_region_laplacian_banded(
                         edges, labels, np.asarray(self.lap_pos_w),
                         num_regions=15, pad_width=self._lap_band_pad)
+                print(f"[laplacian] banded backend, band width "
+                      f"{self.region_lap.band.shape[1]}", flush=True)
             else:
                 # grow-only neighbor-table width so the padded shapes
                 # (and the compiled step) stay stable across topology

@@ -217,3 +217,21 @@ def test_banded_laplacian_backend(tmp_path):
     assert isinstance(trainer.region_lap, BandedRegionLaplacian)
     result = trainer.train()
     assert np.isfinite(result["psnr"])
+
+
+def test_banded_width_stable_across_rebuilds(tmp_path):
+    """Repeated laplacian rebuilds (one per density event) must keep the
+    band width — a compiled-shape input to the train step — constant.
+    The r4 quality run hit a compounding-pad bug (the 12% headroom was
+    derived from the PADDED width) that recompiled the full train step
+    at every densify: widths 463 -> 519 -> 582 -> 652."""
+    from sings_tpu.train.trainer import Trainer
+
+    cfg = make_cfg(str(tmp_path), steps=2)
+    cfg.tpu.laplacian_backend = "banded"
+    trainer = Trainer(cfg)
+    widths = [trainer.region_lap.band.shape[1]]
+    for _ in range(3):
+        trainer._rebuild_laplacians()
+        widths.append(trainer.region_lap.band.shape[1])
+    assert len(set(widths)) == 1, widths
