@@ -29,7 +29,7 @@ BASELINE_MPIX_S = 40.0
 BASELINE_RECIPE_IT_S = 10.0
 
 
-def recipe_bench():
+def recipe_bench(overrides=()):
     os.makedirs("/root/jax_cache", exist_ok=True)
     import jax
 
@@ -49,7 +49,7 @@ def recipe_bench():
         "train.val_interval=1000000", "train.viz_interval=1000000",
         "train.anim_interval=1000000",
         "train.save_ckpt_interval=1000000",
-    ])
+    ] + list(overrides))
     import shutil
 
     shutil.rmtree("/tmp/bench_recipe", ignore_errors=True)
@@ -163,6 +163,10 @@ def main():
 
 if __name__ == "__main__":
     if "--recipe" in sys.argv:
-        recipe_bench()
+        # extra args after --recipe are config dotlist overrides, e.g.
+        #   python bench.py --recipe tpu.triplane_nested=false
+        # (the round-5 one-toggle-at-a-time attribution runs)
+        extra = [a for a in sys.argv[1:] if a != "--recipe"]
+        recipe_bench(extra)
     else:
         main()

@@ -23,9 +23,14 @@ from sings_tpu.ops.timing import device_time
 
 C = 127744
 
-# ---- laplacian A/B on the r3b mesh topology
-d = np.load("work/run_r3b/v_release/f_2/ckpt/human_final.npz",
-            allow_pickle=True)
+# ---- laplacian A/B on the latest quality-run mesh topology
+import glob
+import sys
+
+ckpt = (sys.argv[1] if len(sys.argv) > 1 else
+        sorted(glob.glob("work/run_r*/v_release/f_2/ckpt/human_final.npz"))[-1])
+print(f"topology from {ckpt}", flush=True)
+d = np.load(ckpt, allow_pickle=True)
 alive = d["buffers__0"]
 labels = np.where(alive > 0.5, d["buffers__4"], -1).astype(np.int64)
 edges = d["buffers__8"].astype(np.int64)[d["buffers__9"] > 0.5]

@@ -753,11 +753,17 @@ def build_region_laplacian_banded(
     region_weights: np.ndarray,
     num_regions: int = 15,
     pad_width: int | None = None,
+    width_fn=None,
 ) -> BandedRegionLaplacian:
     """Host-side RCM + device band tables (see class docstring).
 
     pad_width: minimum W (grow-only callers keep the compiled step
     stable across topology changes).
+    width_fn: optional raw_width -> padded_width policy (e.g. the
+    trainer's 64-bucketed headroom), applied BEFORE pad_width so the
+    caller can size the band once instead of build-measure-rebuild
+    (the (capacity, W) band tables are the expensive part at >=32k
+    capacity — two ~0.5 GB numpy materializations per build).
     """
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import reverse_cuthill_mckee
@@ -791,6 +797,8 @@ def build_region_laplacian_banded(
     ps, pd = inv[src], inv[dst]
     bw = int(np.abs(ps - pd).max()) if len(ps) else 0
     w = 2 * bw + 1
+    if width_fn is not None:
+        w = max(w, int(width_fn(w)))
     if pad_width is not None:
         w = max(w, pad_width)
     b = (w - 1) // 2

@@ -529,9 +529,6 @@ class Trainer:
                     build_region_laplacian_banded,
                 )
 
-                self.region_lap = build_region_laplacian_banded(
-                    edges, labels, np.asarray(self.lap_pos_w),
-                    num_regions=15)
                 # Grow-only, 64-BUCKETED half-width from the RAW RCM
                 # bandwidth. Deriving the headroom from the padded width
                 # compounded 12% per rebuild (r4 run: 463->519->582->652)
@@ -539,14 +536,19 @@ class Trainer:
                 # (~5 min each on the remote backend). Bucketing the raw
                 # half-width keeps the compiled shape stable across
                 # densifies unless the mesh genuinely outgrows a bucket.
-                bw_raw = (self.region_lap.band.shape[1] - 1) // 2
-                bw_pad = -(-max(int(bw_raw * 1.12), 1) // 64) * 64
-                pad = getattr(self, "_lap_band_pad", 0)
-                self._lap_band_pad = max(pad, 2 * bw_pad + 1)
-                if self._lap_band_pad > self.region_lap.band.shape[1]:
-                    self.region_lap = build_region_laplacian_banded(
-                        edges, labels, np.asarray(self.lap_pos_w),
-                        num_regions=15, pad_width=self._lap_band_pad)
+                # width_fn sizes the band in ONE build (the tables are
+                # the expensive part; a build-measure-rebuild ran the
+                # host-side construction twice per densify).
+                def _bucketed(raw_w: int) -> int:
+                    bw_raw = (raw_w - 1) // 2
+                    bw_pad = -(-max(int(bw_raw * 1.12), 1) // 64) * 64
+                    return 2 * bw_pad + 1
+
+                self.region_lap = build_region_laplacian_banded(
+                    edges, labels, np.asarray(self.lap_pos_w),
+                    num_regions=15, width_fn=_bucketed,
+                    pad_width=getattr(self, "_lap_band_pad", 0) or None)
+                self._lap_band_pad = self.region_lap.band.shape[1]
                 print(f"[laplacian] banded backend, band width "
                       f"{self.region_lap.band.shape[1]}", flush=True)
             else:
@@ -1067,9 +1069,16 @@ class Trainer:
 
     def validate(self, iter_s="final"):
         # psnr/ssim/lpips follow the reference protocol exactly (black-bg
-        # render vs raw GT, gs_trainer.py:549,584-586); psnr_masked is an
-        # extra diagnostic restricted to the person mask
-        metrics = {"psnr": [], "ssim": [], "lpips": [], "psnr_masked": []}
+        # render vs raw GT, gs_trainer.py:549,584-586). On kits with a
+        # light background this makes raw full-frame PSNR background-
+        # dominated and ~constant over training (~1.4 dB here): the GT
+        # keeps its background (Customdataset.py:233-244 does not mask;
+        # the reference masks only for name=='zju', gs_trainer.py:580-583)
+        # while the render is on black. psnr_composite is the
+        # like-for-like full-frame row (GT*mask vs render, both on
+        # black); psnr_masked restricts to the person mask.
+        metrics = {"psnr": [], "ssim": [], "lpips": [], "psnr_masked": [],
+                   "psnr_composite": []}
         refine_steps = int(self.cfg.tpu.get("val_pose_refine_steps", 0))
         if refine_steps > 0:
             metrics["psnr_masked_refined"] = []
@@ -1099,6 +1108,7 @@ class Trainer:
                           / jnp.maximum(m.sum() * 3, 1.0))
             metrics["psnr_masked"].append(
                 float(20 * np.log10(1.0 / max(np.sqrt(mse_m), 1e-6))))
+            metrics["psnr_composite"].append(float(psnr(img, gt * m)))
             if gauge is not None:
                 try:
                     from ..ops.rotations import (axis_angle_to_matrix,

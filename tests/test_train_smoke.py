@@ -204,6 +204,7 @@ def test_multi_step_scan_path(tmp_path):
     assert np.isfinite(result["psnr"])
 
 
+@pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
 def test_banded_laplacian_backend(tmp_path):
     """Forced banded laplacian backend trains identically-shaped steps
     with finite losses (auto only enables it at >=32k capacity)."""
@@ -219,6 +220,7 @@ def test_banded_laplacian_backend(tmp_path):
     assert np.isfinite(result["psnr"])
 
 
+@pytest.mark.skipif(not os.path.isdir(KIT), reason="bundled kit missing")
 def test_banded_width_stable_across_rebuilds(tmp_path):
     """Repeated laplacian rebuilds (one per density event) must keep the
     band width — a compiled-shape input to the train step — constant.
