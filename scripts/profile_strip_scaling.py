@@ -95,6 +95,66 @@ def time_gs(gs):
     return mean_t, max_est
 
 
+def time_gs_balanced(gs):
+    """Mitigation 2 (docs/SCALING.md): strip boundaries chosen from the
+    per-tile-row pair histogram so every rank walks ~equal pairs; all
+    ranks rasterize a STATIC h_max window (compiled shape uniform),
+    with the owned region a sub-range — padding tiles walk zero pairs.
+    Returns (mean strip ms over the h_max programs, max-rank est)."""
+    from sings_tpu.ops.rasterizer.common import preprocess
+    from sings_tpu.ops.rasterizer.tiles import bin_gaussians
+
+    tile = 16
+    nty = hw // tile
+    # per-tile-row pair counts from one full-image binning
+    g2d = jax.jit(lambda m, sc, o, f: preprocess(
+        m, sc, quats, o, f, cam_full, sh_degree=3))(means, scales, opac, shs)
+    b = bin_gaussians(g2d, tile=tile, n_tiles_x=hw // tile, n_tiles_y=nty,
+                      max_span=3, align=128, max_pairs=262144)
+    offs = np.asarray(b.tile_offsets)
+    per_row = offs[np.arange(1, nty + 1) * (hw // tile)] - \
+        offs[np.arange(nty) * (hw // tile)]
+    # greedy balanced boundaries: cut when the running sum passes k/gs
+    total = per_row.sum()
+    cuts, acc, k = [0], 0, 1
+    for r in range(nty):
+        acc += per_row[r]
+        if acc >= total * k / gs and len(cuts) < gs:
+            cuts.append(r + 1)
+            k += 1
+    cuts.append(nty)
+    heights = np.diff(cuts) * tile
+    h_max = int(-(-heights.max() // tile) * tile)
+    mp = max(32768, 262144 // gs)
+    strips = [camera_strip(cam_full, int(c) * tile, h_max)
+              for c in cuts[:-1]]
+    projs = jnp.stack([s.proj for s in strips])
+    loss = strip_loss(strips[0], mp)
+
+    def all_strips(means, scales, opac, shs):
+        def one(proj):
+            return jax.grad(loss, argnums=(0, 1, 2, 3))(
+                means, scales, opac, shs, proj)
+
+        return jax.lax.map(one, projs)
+
+    t_all = device_time(all_strips, (means, scales, opac, shs),
+                        k1=1, k2=5) * 1e3
+    counts = []
+    for s in strips:
+        g2s = jax.jit(lambda m, sc, o, f, c=s: preprocess(
+            m, sc, quats, o, f, c, sh_degree=3))(means, scales, opac, shs)
+        bs = bin_gaussians(g2s, tile=tile, n_tiles_x=hw // tile,
+                           n_tiles_y=h_max // tile, max_span=3, align=128,
+                           max_pairs=mp)
+        counts.append(int(bs.num_pairs))
+    mean_t = t_all / gs
+    max_est = mean_t * max(counts) / max(np.mean(counts), 1.0)
+    print(f"    balanced heights {list(heights)} h_max {h_max} "
+          f"pair counts {counts}", flush=True)
+    return mean_t, max_est
+
+
 def loss_full(means, scales, opac, shs):
     out = rasterize(means, scales, quats, opac, shs, cam_full, sh_degree=3,
                     bg=bg, backend="pallas", tile=16, chunk=128,
@@ -105,8 +165,12 @@ def loss_full(means, scales, opac, shs):
 t_full = device_time(jax.grad(loss_full, argnums=(0, 1, 2, 3)),
                      (means, scales, opac, shs), k1=2, k2=10) * 1e3
 print(f"gs=1 full {hw}x{hw}: {t_full:.2f} ms", flush=True)
+import sys  # noqa: E402
+
+variant = sys.argv[1] if len(sys.argv) > 1 else "equal"
+timer = {"equal": time_gs, "balanced": time_gs_balanced}[variant]
 for gs in (2, 4, 8):
-    t_mean, t_max = time_gs(gs)
+    t_mean, t_max = timer(gs)
     coll_bytes = (n * GATHER_F32_PER_GAUSS * 4 * (gs - 1) / gs  # gather
                   * 2                                           # + transpose
                   + 2 * 3 * hw * hw * 4 / gs                    # lpips gthr
@@ -114,7 +178,7 @@ for gs in (2, 4, 8):
     t_coll = coll_bytes / (ICI_GBPS * 1e9) * 1e3
     eff_mean = t_full / (gs * (t_mean + t_coll))
     eff_max = t_full / (gs * (t_max + t_coll))
-    print(f"gs={gs}: strip {hw//gs}x{hw} mean {t_mean:.2f} ms / max est "
+    print(f"gs={gs} [{variant}]: strip mean {t_mean:.2f} ms / max est "
           f"{t_max:.2f} ms | est coll {t_coll:.2f} ms | projected "
           f"gs-axis eff {eff_mean*100:.0f}% (balanced) / "
           f"{eff_max*100:.0f}% (max-rank)", flush=True)

@@ -161,6 +161,10 @@ DEFAULTS = {
             # per-gaussian surviving-pair budget (tiles.py pair_cap);
             # None = full max_span^2 enumeration
             "pair_cap": None,
+            # chunk cumsum in the composite kernels: False = MXU
+            # triangular matmul, True = VPU pltpu.roll scan (A/B in
+            # docs/PERF.md; same numerics to f32 reassociation)
+            "scan_roll": False,
         },
         "capacity_margin": 1.25,   # slot headroom over current gaussians
         # synthetic-template tessellation multiplier: 2.0 ~= 4x verts,

@@ -38,6 +38,11 @@ class RasterConfig(NamedTuple):
     # the "pallas" kernels in relayout.py fail Mosaic lowering — the
     # (1,256)->(16,16) lane-split reshape is an unsupported shape cast)
     relayout: str = "xla"
+    # chunk cumsum inside the composite kernels: False = triangular
+    # matmul on the MXU, True = log2(chunk) masked pltpu.rolls on the
+    # VPU (see pallas_kernels._incl_cumsum_roll; measured A/B in
+    # docs/PERF.md before the default was chosen)
+    scan_roll: bool = False
     interpret: bool = False
 
 
@@ -88,6 +93,7 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
     out = composite_fwd(
         feats, binning.tile_offsets, tile=cfg.tile, chunk=cfg.chunk,
         n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
+        scan_roll=cfg.scan_roll,
     )
     # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance
     if cfg.relayout == "pallas":
@@ -142,7 +148,7 @@ def _composite_bwd(cfg, res, cot):
     pair_grads = composite_bwd(
         feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
         chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty, grad_cap=grad_cap,
-        interpret=cfg.interpret,
+        interpret=cfg.interpret, scan_roll=cfg.scan_roll,
     )
     # keep only the 9 used gradient rows and un-sort with narrow row
     # gathers (no float scatter; the glue is gather-row-count-bound,
@@ -197,6 +203,7 @@ def rasterize(
     cull: bool = True,
     pair_cap: int | None = None,
     relayout: str = "xla",
+    scan_roll: bool = False,
     interpret: bool = False,
 ) -> dict:
     """Differentiable gaussian splatting to an image.
@@ -238,7 +245,7 @@ def rasterize(
             height=camera.height, width=camera.width, tile=tile, chunk=chunk,
             max_span=max_span, max_pairs=max_pairs, main_width=main_width,
             tail_capacity=tail_capacity, cull=cull, pair_cap=pair_cap,
-            relayout=relayout, interpret=interpret,
+            relayout=relayout, scan_roll=scan_roll, interpret=interpret,
         )
         color, t_final = _composite_tiled(
             cfg, means2d, g2d.conics, g2d.colors, g2d.opacities, g2d.depths,

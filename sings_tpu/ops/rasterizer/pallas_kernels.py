@@ -98,6 +98,24 @@ def _tri_strict(chunk: int):
     return (j < i).astype(jnp.float32)
 
 
+def _incl_cumsum_roll(x):
+    """Inclusive cumsum over the sublane (chunk) axis via log2(chunk)
+    masked rolls — the MXU-free alternative to the triangular matmul.
+
+    The matmul formulation costs 2*chunk MXU flops per pair-pixel (the
+    single biggest term in the kernel roofline, docs/PERF.md); the
+    Hillis-Steele scan costs ~3*log2(chunk) VPU ops. Same sums, f32
+    reassociated (parity tolerance 2e-4 absorbs it)."""
+    chunk = x.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    d = 1
+    while d < chunk:
+        r = pltpu.roll(x, shift=d, axis=0)
+        x = x + jnp.where(i >= d, r, 0.0)
+        d *= 2
+    return x
+
+
 def _tri_incl(chunk: int):
     i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -113,14 +131,14 @@ def _segment(offs_ref, t, chunk):
 
 
 def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
-                *, tile, chunk, n_tiles_x):
+                *, tile, chunk, n_tiles_x, scan_roll=False):
     t = pl.program_id(0)
     npx = tile * tile
     start, end, base, nchunks = _segment(offs_ref, t, chunk)
 
     px_x, px_y = _pixel_coords_local(tile)
     ox, oy = _tile_origin(t, tile, n_tiles_x)
-    ltri = _tri_strict(chunk)
+    ltri = None if scan_roll else _tri_strict(chunk)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     # double-buffered chunk DMA: prefetch c+1 while compositing c
@@ -153,7 +171,8 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
         pair_ok = (gidx >= start) & (gidx < end)
         alpha, _, _, _ = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
-        excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
+        excl = (_incl_cumsum_roll(la) - la if scan_roll
+                else jnp.dot(ltri, la, preferred_element_type=jnp.float32))
         t_bef = t_carry * jnp.exp(excl)
         flag = (t_bef * (1.0 - alpha)) >= T_EPS
         aeff = jnp.where(flag, alpha, 0.0)
@@ -198,7 +217,7 @@ def _fwd_kernel(offs_ref, feats_hbm, out_ref, fscratch, sem,
 
 def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
                 fscratch, gscratch, sem, osem,
-                *, tile, chunk, n_tiles_x, grad_cap):
+                *, tile, chunk, n_tiles_x, grad_cap, scan_roll=False):
     t = pl.program_id(0)
     npx = tile * tile
     start, end, base, nchunks = _segment(offs_ref, t, chunk)
@@ -206,8 +225,8 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
 
     px_x, px_y = _pixel_coords_local(tile)
     ox, oy = _tile_origin(t, tile, n_tiles_x)
-    ltri = _tri_strict(chunk)
-    linc = _tri_incl(chunk)
+    ltri = None if scan_roll else _tri_strict(chunk)
+    linc = None if scan_roll else _tri_incl(chunk)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     t_final = fwd_ref[0, 3:4, :]
@@ -263,7 +282,8 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         pair_ok = (gidx >= start) & (gidx < end)
         alpha, gv, mx, my = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
         la = jnp.log1p(-alpha)
-        excl = jnp.dot(ltri, la, preferred_element_type=jnp.float32)
+        excl = (_incl_cumsum_roll(la) - la if scan_roll
+                else jnp.dot(ltri, la, preferred_element_type=jnp.float32))
         t_bef = t_carry * jnp.exp(excl)
         flag = (t_bef * (1.0 - alpha)) >= T_EPS
         aeff = jnp.where(flag, alpha, 0.0)
@@ -274,7 +294,9 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         gc = (f[:, 5:6] * g_rgb[0:1] + f[:, 6:7] * g_rgb[1:2]
               + f[:, 7:8] * g_rgb[2:3])
         wgc = w * gc
-        upg = cpg + jnp.dot(linc, wgc, preferred_element_type=jnp.float32)
+        upg = cpg + (_incl_cumsum_roll(wgc) if scan_roll
+                     else jnp.dot(linc, wgc,
+                                  preferred_element_type=jnp.float32))
         inv1m = 1.0 / (1.0 - aeff)
         dl_da = t_bef * gc - inv1m * ((cfg - upg) + gtf)
         dl_da = jnp.where(aeff > 0.0, dl_da, 0.0)
@@ -372,10 +394,10 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
 
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
-                              "interpret")
+                              "interpret", "scan_roll")
 )
 def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
-                  interpret=False):
+                  interpret=False, scan_roll=False):
     """Run the forward kernel.
 
     feats: (NFEAT, PK + chunk) sorted-order pair features.
@@ -398,7 +420,8 @@ def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, tile=tile, chunk=chunk, n_tiles_x=n_tiles_x
+        _fwd_kernel, tile=tile, chunk=chunk, n_tiles_x=n_tiles_x,
+        scan_roll=scan_roll,
     )
     return pl.pallas_call(
         kernel,
@@ -410,10 +433,11 @@ def composite_fwd(feats, offsets, *, tile, chunk, n_tiles_x, n_tiles_y,
 
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
-                              "grad_cap", "interpret")
+                              "grad_cap", "interpret", "scan_roll")
 )
 def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
-                  chunk, n_tiles_x, n_tiles_y, grad_cap, interpret=False):
+                  chunk, n_tiles_x, n_tiles_y, grad_cap, interpret=False,
+                  scan_roll=False):
     """Run the backward kernel.
 
     Returns per-pair gradients (NFEAT, grad_cap) in the aligned
@@ -445,7 +469,7 @@ def composite_bwd(feats, offsets, grad_offsets, fwd_out, gout, *, tile,
     )
     kernel = functools.partial(
         _bwd_kernel, tile=tile, chunk=chunk, n_tiles_x=n_tiles_x,
-        grad_cap=grad_cap,
+        grad_cap=grad_cap, scan_roll=scan_roll,
     )
     return pl.pallas_call(
         kernel,

@@ -65,6 +65,7 @@ def default_raster_kw(cfg, height, width):
         main_width=cfg.tpu.raster.main_width,
         tail_capacity=cfg.tpu.raster.tail_capacity,
         pair_cap=cfg.tpu.raster.get("pair_cap"),
+        scan_roll=bool(cfg.tpu.raster.get("scan_roll", False)),
     )
     if jax.default_backend() != "tpu":
         kw.update(chunk=8, interpret=True)

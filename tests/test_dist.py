@@ -306,9 +306,15 @@ def test_case_step_matches_single_chip_per_case():
             np.testing.assert_allclose(
                 a2, a1, rtol=1e-3, atol=1e-4 * scale,
                 err_msg=f"case {c}: {jax.tree_util.keystr(path)}")
+        # probe-grad norms span 1e-8..1e-5 within one case; tiny
+        # elements carry f32 reduction-order noise up to ~1% of
+        # themselves run-to-run (XLA:CPU threading), so the atol is the
+        # same relative-to-tensor-max floor the params assertion uses
+        # (a fixed 1e-9 atol flaked on single 1e-8-magnitude elements)
+        ga1 = np.asarray(b1.xyz_grad_accum)
         np.testing.assert_allclose(
-            np.asarray(b2.xyz_grad_accum)[c], np.asarray(b1.xyz_grad_accum),
-            rtol=1e-3, atol=1e-9)
+            np.asarray(b2.xyz_grad_accum)[c], ga1, rtol=3e-3,
+            atol=1e-4 * max(float(np.abs(ga1).max()), 1e-12))
 
 
 def test_case_step_with_gs_axis():

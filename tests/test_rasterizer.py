@@ -273,3 +273,30 @@ def test_pair_cap_compaction_exact():
                       backend="pallas", **dict(KW, max_span=3, pair_cap=4))
     np.testing.assert_array_equal(np.asarray(r_cap["render"]),
                                   np.asarray(r_full["render"]))
+
+
+def test_scan_roll_matches_matmul_cumsum():
+    """The MXU-free chunk cumsum (scan_roll=True, log2(chunk) masked
+    pltpu.rolls) must reproduce the triangular-matmul path's values AND
+    gradients (same sums, f32 reassociated)."""
+    cam, means, scales, quats, opac, feats, bg = make_scene(sh=True)
+
+    def run(scan_roll):
+        def loss(means, scales, opac, feats):
+            out = rasterize(means, scales, quats, opac, feats, cam,
+                            sh_degree=3, bg=bg, backend="pallas",
+                            scan_roll=scan_roll, **KW)
+            return jnp.sum(out["render"] ** 2), out["render"]
+
+        (v, img), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(
+                means, scales, opac, feats)
+        return img, g
+
+    img_m, g_m = run(False)
+    img_r, g_r = run(True)
+    np.testing.assert_allclose(np.asarray(img_r), np.asarray(img_m),
+                               atol=2e-5)
+    for a, b in zip(g_r, g_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=2e-4)
