@@ -17,7 +17,6 @@ from ..graphics import Camera
 from .common import Gaussians2D, preprocess
 from .pallas_kernels import NFEAT, composite_bwd, composite_fwd
 from .reference import composite_dense
-from .relayout import retile_image, untile_image
 from .tiles import bin_gaussians
 
 
@@ -34,10 +33,6 @@ class RasterConfig(NamedTuple):
     tail_capacity: int | None = None
     cull: bool = True
     pair_cap: int | None = None
-    # tile-major <-> image relayout backend: "xla" transposes (default;
-    # the "pallas" kernels in relayout.py fail Mosaic lowering — the
-    # (1,256)->(16,16) lane-split reshape is an unsupported shape cast)
-    relayout: str = "xla"
     # chunk cumsum inside the composite kernels: False = triangular
     # matmul on the MXU, True = log2(chunk) masked pltpu.rolls on the
     # VPU (see pallas_kernels._incl_cumsum_roll; measured A/B in
@@ -95,21 +90,16 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
         n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
         scan_roll=cfg.scan_roll,
     )
-    # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance
-    if cfg.relayout == "pallas":
-        u = untile_image(out, tile=cfg.tile, ntx=ntx, nty=nty,
-                         interpret=cfg.interpret)
-        color = u[:3, : cfg.height, : cfg.width]
-        t_final = u[3, : cfg.height, : cfg.width]
-    else:
-        color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
-        color = color.transpose(2, 0, 3, 1, 4).reshape(
-            3, nty * cfg.tile, ntx * cfg.tile
-        )[:, : cfg.height, : cfg.width]
-        t_final = out[:, 3, :].reshape(nty, ntx, cfg.tile, cfg.tile)
-        t_final = t_final.transpose(0, 2, 1, 3).reshape(
-            nty * cfg.tile, ntx * cfg.tile
-        )[: cfg.height, : cfg.width]
+    # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance (XLA
+    # transposes; see relayout.py for why there is no Pallas backend)
+    color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
+    color = color.transpose(2, 0, 3, 1, 4).reshape(
+        3, nty * cfg.tile, ntx * cfg.tile
+    )[:, : cfg.height, : cfg.width]
+    t_final = out[:, 3, :].reshape(nty, ntx, cfg.tile, cfg.tile)
+    t_final = t_final.transpose(0, 2, 1, 3).reshape(
+        nty * cfg.tile, ntx * cfg.tile
+    )[: cfg.height, : cfg.width]
     res = (feats, binning.tile_offsets, binning.grad_offsets, out,
            binning.main_slot, binning.tail_slot, binning.tail_of_gauss,
            binning.pair_slot_capacity, means2d.shape[0])
@@ -129,21 +119,16 @@ def _composite_bwd(cfg, res, cot):
     gt = jnp.zeros((hp, wp), g_t.dtype)
     gt = gt.at[: cfg.height, : cfg.width].set(g_t)
 
-    if cfg.relayout == "pallas":
-        gout = retile_image(
-            jnp.concatenate([gc, gt[None]], axis=0), tile=cfg.tile,
-            ntx=ntx, nty=nty, interpret=cfg.interpret)
-    else:
-        gc_tiles = gc.reshape(3, nty, cfg.tile, ntx, cfg.tile).transpose(
-            1, 3, 0, 2, 4
-        ).reshape(nty * ntx, 3, npx)
-        gt_tiles = gt.reshape(nty, cfg.tile, ntx, cfg.tile).transpose(
-            0, 2, 1, 3
-        ).reshape(nty * ntx, 1, npx)
-        gout = jnp.concatenate(
-            [gc_tiles, gt_tiles,
-             jnp.zeros((nty * ntx, 4, npx), gc.dtype)], axis=1
-        )
+    gc_tiles = gc.reshape(3, nty, cfg.tile, ntx, cfg.tile).transpose(
+        1, 3, 0, 2, 4
+    ).reshape(nty * ntx, 3, npx)
+    gt_tiles = gt.reshape(nty, cfg.tile, ntx, cfg.tile).transpose(
+        0, 2, 1, 3
+    ).reshape(nty * ntx, 1, npx)
+    gout = jnp.concatenate(
+        [gc_tiles, gt_tiles,
+         jnp.zeros((nty * ntx, 4, npx), gc.dtype)], axis=1
+    )
 
     pair_grads = composite_bwd(
         feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
@@ -202,7 +187,6 @@ def rasterize(
     tail_capacity: int | None = None,
     cull: bool = True,
     pair_cap: int | None = None,
-    relayout: str = "xla",
     scan_roll: bool = False,
     interpret: bool = False,
 ) -> dict:
@@ -233,19 +217,11 @@ def rasterize(
         means2d = means2d + screen_probe * probe_scale
 
     if backend == "pallas":
-        if relayout == "pallas" and not interpret:
-            # the relayout kernels fail Mosaic lowering on real TPU (the
-            # (1,256)->(16,16) lane-split reshape is an unsupported shape
-            # cast); selecting them outside interpret mode would crash at
-            # compile time with an opaque Mosaic error
-            raise NotImplementedError(
-                "relayout='pallas' only lowers under interpret=True; use "
-                "relayout='xla' on hardware (see relayout.py)")
         cfg = RasterConfig(
             height=camera.height, width=camera.width, tile=tile, chunk=chunk,
             max_span=max_span, max_pairs=max_pairs, main_width=main_width,
             tail_capacity=tail_capacity, cull=cull, pair_cap=pair_cap,
-            relayout=relayout, scan_roll=scan_roll, interpret=interpret,
+            scan_roll=scan_roll, interpret=interpret,
         )
         color, t_final = _composite_tiled(
             cfg, means2d, g2d.conics, g2d.colors, g2d.opacities, g2d.depths,
