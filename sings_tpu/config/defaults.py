@@ -165,6 +165,10 @@ DEFAULTS = {
             # triangular matmul, True = VPU pltpu.roll scan (A/B in
             # docs/PERF.md; same numerics to f32 reassociation)
             "scan_roll": False,
+            # "tiled" = tile-major kernel output + XLA relayout;
+            # "panel" = 128px-wide image-layout panels with cross-tile
+            # chunk-0 prefetch (pallas_kernels.py panel section)
+            "layout": "tiled",
         },
         "capacity_margin": 1.25,   # slot headroom over current gaussians
         # synthetic-template tessellation multiplier: 2.0 ~= 4x verts,

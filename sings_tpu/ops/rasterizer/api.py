@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 from ..graphics import Camera
 from .common import Gaussians2D, preprocess
-from .pallas_kernels import NFEAT, composite_bwd, composite_fwd
+from .pallas_kernels import (
+    NFEAT, composite_bwd, composite_bwd_panel, composite_fwd,
+    composite_fwd_panel,
+)
 from .reference import composite_dense
 from .tiles import bin_gaussians
 
@@ -38,7 +41,16 @@ class RasterConfig(NamedTuple):
     # VPU (see pallas_kernels._incl_cumsum_roll; measured A/B in
     # docs/PERF.md before the default was chosen)
     scan_roll: bool = False
+    # "tiled": (T, 8, npx) tile-major kernel output + XLA relayout to
+    # image layout; "panel": kernels walk 128px-wide tile panels and
+    # emit image-layout planes directly (no relayout, cross-tile
+    # chunk-0 prefetch — see pallas_kernels.py panel section)
+    layout: str = "tiled"
     interpret: bool = False
+
+    @property
+    def panel_width(self) -> int:
+        return max(1, 128 // self.tile)
 
 
 def _pad_tiles(cfg: RasterConfig):
@@ -85,21 +97,31 @@ def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
     )
     feats, valid = _gather_feats(binning, means2d, conics, colors,
                                  opacities, cfg.chunk)
-    out = composite_fwd(
-        feats, binning.tile_offsets, tile=cfg.tile, chunk=cfg.chunk,
-        n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
-        scan_roll=cfg.scan_roll,
-    )
-    # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance (XLA
-    # transposes; see relayout.py for why there is no Pallas backend)
-    color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
-    color = color.transpose(2, 0, 3, 1, 4).reshape(
-        3, nty * cfg.tile, ntx * cfg.tile
-    )[:, : cfg.height, : cfg.width]
-    t_final = out[:, 3, :].reshape(nty, ntx, cfg.tile, cfg.tile)
-    t_final = t_final.transpose(0, 2, 1, 3).reshape(
-        nty * cfg.tile, ntx * cfg.tile
-    )[: cfg.height, : cfg.width]
+    if cfg.layout == "panel":
+        out = composite_fwd_panel(
+            feats, binning.tile_offsets, tile=cfg.tile, chunk=cfg.chunk,
+            n_tiles_x=ntx, n_tiles_y=nty, pw=cfg.panel_width,
+            interpret=cfg.interpret, scan_roll=cfg.scan_roll,
+        )
+        # (4, Hp, Wp) image-layout planes: a slice, no relayout
+        color = out[:3, : cfg.height, : cfg.width]
+        t_final = out[3, : cfg.height, : cfg.width]
+    else:
+        out = composite_fwd(
+            feats, binning.tile_offsets, tile=cfg.tile, chunk=cfg.chunk,
+            n_tiles_x=ntx, n_tiles_y=nty, interpret=cfg.interpret,
+            scan_roll=cfg.scan_roll,
+        )
+        # (T, 8, npx) -> (3, H, W) color and (H, W) transmittance (XLA
+        # transposes; the panel layout above removes them)
+        color = out[:, :3, :].reshape(nty, ntx, 3, cfg.tile, cfg.tile)
+        color = color.transpose(2, 0, 3, 1, 4).reshape(
+            3, nty * cfg.tile, ntx * cfg.tile
+        )[:, : cfg.height, : cfg.width]
+        t_final = out[:, 3, :].reshape(nty, ntx, cfg.tile, cfg.tile)
+        t_final = t_final.transpose(0, 2, 1, 3).reshape(
+            nty * cfg.tile, ntx * cfg.tile
+        )[: cfg.height, : cfg.width]
     res = (feats, binning.tile_offsets, binning.grad_offsets, out,
            binning.main_slot, binning.tail_slot, binning.tail_of_gauss,
            binning.pair_slot_capacity, means2d.shape[0])
@@ -111,30 +133,42 @@ def _composite_bwd(cfg, res, cot):
     (feats, offsets, grad_offsets, fwd_out, main_slot, tail_slot,
      tail_of_gauss, grad_cap, n) = res
     ntx, nty = _pad_tiles(cfg)
-    hp, wp = nty * cfg.tile, ntx * cfg.tile
     npx = cfg.tile * cfg.tile
 
-    gc = jnp.zeros((3, hp, wp), g_color.dtype)
-    gc = gc.at[:, : cfg.height, : cfg.width].set(g_color)
-    gt = jnp.zeros((hp, wp), g_t.dtype)
-    gt = gt.at[: cfg.height, : cfg.width].set(g_t)
+    if cfg.layout == "panel":
+        hp, wp = fwd_out.shape[1], fwd_out.shape[2]
+        gout = jnp.zeros((4, hp, wp), g_color.dtype)
+        gout = gout.at[:3, : cfg.height, : cfg.width].set(g_color)
+        gout = gout.at[3, : cfg.height, : cfg.width].set(g_t)
+        pair_grads = composite_bwd_panel(
+            feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
+            chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty,
+            pw=cfg.panel_width, grad_cap=grad_cap,
+            interpret=cfg.interpret, scan_roll=cfg.scan_roll,
+        )
+    else:
+        hp, wp = nty * cfg.tile, ntx * cfg.tile
+        gc = jnp.zeros((3, hp, wp), g_color.dtype)
+        gc = gc.at[:, : cfg.height, : cfg.width].set(g_color)
+        gt = jnp.zeros((hp, wp), g_t.dtype)
+        gt = gt.at[: cfg.height, : cfg.width].set(g_t)
 
-    gc_tiles = gc.reshape(3, nty, cfg.tile, ntx, cfg.tile).transpose(
-        1, 3, 0, 2, 4
-    ).reshape(nty * ntx, 3, npx)
-    gt_tiles = gt.reshape(nty, cfg.tile, ntx, cfg.tile).transpose(
-        0, 2, 1, 3
-    ).reshape(nty * ntx, 1, npx)
-    gout = jnp.concatenate(
-        [gc_tiles, gt_tiles,
-         jnp.zeros((nty * ntx, 4, npx), gc.dtype)], axis=1
-    )
+        gc_tiles = gc.reshape(3, nty, cfg.tile, ntx, cfg.tile).transpose(
+            1, 3, 0, 2, 4
+        ).reshape(nty * ntx, 3, npx)
+        gt_tiles = gt.reshape(nty, cfg.tile, ntx, cfg.tile).transpose(
+            0, 2, 1, 3
+        ).reshape(nty * ntx, 1, npx)
+        gout = jnp.concatenate(
+            [gc_tiles, gt_tiles,
+             jnp.zeros((nty * ntx, 4, npx), gc.dtype)], axis=1
+        )
 
-    pair_grads = composite_bwd(
-        feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
-        chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty, grad_cap=grad_cap,
-        interpret=cfg.interpret, scan_roll=cfg.scan_roll,
-    )
+        pair_grads = composite_bwd(
+            feats, offsets, grad_offsets, fwd_out, gout, tile=cfg.tile,
+            chunk=cfg.chunk, n_tiles_x=ntx, n_tiles_y=nty, grad_cap=grad_cap,
+            interpret=cfg.interpret, scan_roll=cfg.scan_roll,
+        )
     # keep only the 9 used gradient rows and un-sort with narrow row
     # gathers (no float scatter; the glue is gather-row-count-bound,
     # hence the prefix + compacted-tail tables instead of a dense
@@ -188,6 +222,7 @@ def rasterize(
     cull: bool = True,
     pair_cap: int | None = None,
     scan_roll: bool = False,
+    layout: str = "tiled",
     interpret: bool = False,
 ) -> dict:
     """Differentiable gaussian splatting to an image.
@@ -221,7 +256,7 @@ def rasterize(
             height=camera.height, width=camera.width, tile=tile, chunk=chunk,
             max_span=max_span, max_pairs=max_pairs, main_width=main_width,
             tail_capacity=tail_capacity, cull=cull, pair_cap=pair_cap,
-            scan_roll=scan_roll, interpret=interpret,
+            scan_roll=scan_roll, layout=layout, interpret=interpret,
         )
         color, t_final = _composite_tiled(
             cfg, means2d, g2d.conics, g2d.colors, g2d.opacities, g2d.depths,

@@ -392,6 +392,470 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
         dma.wait()
 
 
+# ---------------------------------------------------------------------------
+# Panel kernels: image-layout output + cross-tile chunk-0 prefetch.
+#
+# The tiled kernels above emit (T, 8, npx) tile-major blocks that XLA must
+# re-lay out into (3, H, W) images with 5D transposes whose minor dim is
+# `tile` (16) — measured ~1.8 ms of the 12.3 ms fwd+bwd walk at the bench
+# scene (docs/PERF.md roofline). They also pay one full DMA latency at
+# every tile start (first chunk has no prefetch across grid steps):
+# ~0.6 us x 1024 tiles accounts for most of the 40-50% gap to the
+# structural bound.
+#
+# The panel variant fixes both structurally:
+#   * grid (nty, ntx/pw): each step walks pw adjacent tiles of one tile
+#     row (pw = 128 // tile, so the out block (4, tile, pw*tile) has a
+#     128-lane minor dim) and writes color+transmittance DIRECTLY in
+#     image layout — the XLA relayout disappears on both fwd and bwd;
+#   * the pw sub-tiles' chunk-0 DMAs are all issued up front (their
+#     segments are known from the prefetched offsets), so only the first
+#     sub-tile of a panel can stall on DMA latency;
+#   * the (1, npx) walk accumulators are placed into the (tile, tile)
+#     image block with exact 0/1 selection MATMULS (_row_to_tile): a
+#     relayout routed through the MXU, avoiding the Mosaic reshape
+#     lowerings that made a dedicated relayout kernel unlowerable
+#     (the deleted relayout.py pallas backend).
+#
+# pw = 1 degenerates to one-tile-per-step with (4, tile, tile) image
+# blocks (strided DMA writes, no relayout) — kept for tile sizes > 128.
+
+
+def _sel_tables(tile: int):
+    """Exact 0/1 selection matrices for (1, tile^2) <-> (tile, tile).
+
+    A: (tile, npx) with A[i, p] = [p // tile == i];
+    B: (npx, tile) with B[p, j] = [p %  tile == j].
+    row->tile: out[i, j] = sum_p A[i,p] * v[p] * B[p,j] = v[i*tile + j].
+    """
+    npx = tile * tile
+    i = jax.lax.broadcasted_iota(jnp.int32, (tile, npx), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (tile, npx), 1)
+    a = ((p // tile) == i).astype(jnp.float32)
+    pj = jax.lax.broadcasted_iota(jnp.int32, (npx, tile), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (npx, tile), 1)
+    b = ((pj % tile) == j).astype(jnp.float32)
+    return a, b
+
+
+def _row_to_tile(v, a, b):
+    """(1, npx) row-major pixel vector -> (tile, tile) image tile."""
+    return jnp.dot(a * v, b, preferred_element_type=jnp.float32)
+
+
+def _tile_to_row(m, a, b):
+    """(tile, tile) image tile -> (1, npx) row-major pixel vector."""
+    t = jnp.dot(m, b.T, preferred_element_type=jnp.float32)  # (tile, npx)
+    return jnp.sum(a * t, axis=0, keepdims=True)
+
+
+def _panel_segment(offs_ref, r, tx, n_tiles_x, chunk):
+    """Segment of sub-tile column tx in row r; empty when tx >= ntx
+    (panel padding columns)."""
+    ok = tx < n_tiles_x
+    t = r * n_tiles_x + jnp.minimum(tx, n_tiles_x - 1)
+    start = jnp.where(ok, offs_ref[t], 0)
+    end = jnp.where(ok, offs_ref[t + 1], 0)
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
+    nchunks = (end - base + chunk - 1) // chunk
+    return t, start, end, base, nchunks
+
+
+def _fwd_kernel_panel(offs_ref, feats_hbm, out_ref, pre, fscratch, psem, sem,
+                      *, tile, chunk, n_tiles_x, pw, scan_roll=False):
+    r = pl.program_id(0)
+    s = pl.program_id(1)
+    npx = tile * tile
+
+    px_x, px_y = _pixel_coords_local(tile)
+    ltri = None if scan_roll else _tri_strict(chunk)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    a_sel, b_sel = _sel_tables(tile)
+
+    def read_dma(off, slot):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(pl.multiple_of(off, chunk), chunk)],
+            fscratch.at[slot], sem.at[slot],
+        )
+
+    def pre_dma(base, k):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(base, chunk)], pre.at[k], psem.at[k],
+        )
+
+    # issue every sub-tile's first chunk up front (segments all known
+    # from the prefetched offsets); empty segments read in-bounds
+    # garbage at base=0 that the pair_ok mask discards
+    for k in range(pw):
+        _, _, _, base_k, _ = _panel_segment(
+            offs_ref, r, s * pw + k, n_tiles_x, chunk)
+        pre_dma(base_k, k).start()
+
+    for k in range(pw):
+        tx = s * pw + k
+        _, start, end, base, nchunks = _panel_segment(
+            offs_ref, r, tx, n_tiles_x, chunk)
+        ox = tx.astype(jnp.float32) * tile
+        oy = r.astype(jnp.float32) * tile
+
+        def chunk_math(f, off, carry):
+            t_carry, acc_r, acc_g, acc_b = carry
+            gidx = off + sub_iota
+            pair_ok = (gidx >= start) & (gidx < end)
+            alpha, _, _, _ = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
+            la = jnp.log1p(-alpha)
+            excl = (_incl_cumsum_roll(la) - la if scan_roll
+                    else jnp.dot(ltri, la,
+                                 preferred_element_type=jnp.float32))
+            t_bef = t_carry * jnp.exp(excl)
+            flag = (t_bef * (1.0 - alpha)) >= T_EPS
+            aeff = jnp.where(flag, alpha, 0.0)
+            w = aeff * t_bef
+            acc_r = acc_r + jnp.sum(w * f[:, 5:6], axis=0, keepdims=True)
+            acc_g = acc_g + jnp.sum(w * f[:, 6:7], axis=0, keepdims=True)
+            acc_b = acc_b + jnp.sum(w * f[:, 7:8], axis=0, keepdims=True)
+            la_eff = jnp.where(flag, la, 0.0)
+            t_carry = t_carry * jnp.exp(
+                jnp.sum(la_eff, axis=0, keepdims=True))
+            return t_carry, acc_r, acc_g, acc_b
+
+        # peeled chunk 0 from the prefetched slot (may be an empty
+        # segment — fully masked, costs one chunk of VPU work only for
+        # panels that exist)
+        pre_dma(base, k).wait()
+
+        @pl.when(nchunks > 1)
+        def _():
+            read_dma(base + chunk, 1).start()
+
+        init = (
+            jnp.ones((1, npx), jnp.float32),
+            jnp.zeros((1, npx), jnp.float32),
+            jnp.zeros((1, npx), jnp.float32),
+            jnp.zeros((1, npx), jnp.float32),
+        )
+        carry0 = chunk_math(jnp.transpose(pre[k], (1, 0)), base, init)
+
+        def body(loop):
+            c, carry = loop
+            slot = c % 2
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                read_dma(base + (c + 1) * chunk, (c + 1) % 2).start()
+
+            read_dma(base + c * chunk, slot).wait()
+            f = jnp.transpose(fscratch[slot], (1, 0))
+            return c + 1, chunk_math(f, base + c * chunk, carry)
+
+        def cond(loop):
+            c, carry = loop
+            return jnp.logical_and(c < nchunks,
+                                   jnp.max(carry[0]) >= T_EPS)
+
+        c_done, carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), carry0))
+
+        # drain an in-flight prefetch left by early exit
+        @pl.when(jnp.logical_and(c_done < nchunks, nchunks > 1))
+        def _():
+            read_dma(base + c_done * chunk, c_done % 2).wait()
+
+        t_final, acc_r, acc_g, acc_b = carry
+        sl = slice(k * tile, (k + 1) * tile)
+        out_ref[0, :, sl] = _row_to_tile(acc_r, a_sel, b_sel)
+        out_ref[1, :, sl] = _row_to_tile(acc_g, a_sel, b_sel)
+        out_ref[2, :, sl] = _row_to_tile(acc_b, a_sel, b_sel)
+        out_ref[3, :, sl] = _row_to_tile(t_final, a_sel, b_sel)
+
+
+def _bwd_kernel_panel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref,
+                      grads_hbm, pre, fscratch, gscratch, psem, sem, osem,
+                      *, tile, chunk, n_tiles_x, pw, grad_cap,
+                      scan_roll=False):
+    r = pl.program_id(0)
+    s = pl.program_id(1)
+    npx = tile * tile
+
+    px_x, px_y = _pixel_coords_local(tile)
+    ltri = None if scan_roll else _tri_strict(chunk)
+    linc = None if scan_roll else _tri_incl(chunk)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    a_sel, b_sel = _sel_tables(tile)
+
+    def read_dma(off, slot):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(pl.multiple_of(off, chunk), chunk)],
+            fscratch.at[slot], sem.at[slot],
+        )
+
+    def pre_dma(base, k):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(base, chunk)], pre.at[k], psem.at[k],
+        )
+
+    for k in range(pw):
+        _, _, _, base_k, _ = _panel_segment(
+            offs_ref, r, s * pw + k, n_tiles_x, chunk)
+        pre_dma(base_k, k).start()
+
+    for k in range(pw):
+        tx = s * pw + k
+        t, start, end, base, nchunks = _panel_segment(
+            offs_ref, r, tx, n_tiles_x, chunk)
+        gbase = goffs_ref[t]
+        ox = tx.astype(jnp.float32) * tile
+        oy = r.astype(jnp.float32) * tile
+        sl = slice(k * tile, (k + 1) * tile)
+
+        # per-sub-tile cotangent rows (loop-invariant): image-layout
+        # planes back to (1, npx) walk rows via the selection matmuls
+        t_final = _tile_to_row(fwd_ref[3, :, sl], a_sel, b_sel)
+        f_r = _tile_to_row(fwd_ref[0, :, sl], a_sel, b_sel)
+        f_g = _tile_to_row(fwd_ref[1, :, sl], a_sel, b_sel)
+        f_b = _tile_to_row(fwd_ref[2, :, sl], a_sel, b_sel)
+        g_r = _tile_to_row(gout_ref[0, :, sl], a_sel, b_sel)
+        g_g = _tile_to_row(gout_ref[1, :, sl], a_sel, b_sel)
+        g_b = _tile_to_row(gout_ref[2, :, sl], a_sel, b_sel)
+        g_t = _tile_to_row(gout_ref[3, :, sl], a_sel, b_sel)
+        # NOTE: the tiled kernel computes this as jnp.sum(g_rgb * fwd,
+        # axis=0), which the compiler contracts into FMA chains — the
+        # chained-add form here differs by ~1 ulp (tests compare the
+        # layouts at 1e-5 relative, not bitwise, for exactly this)
+        cfg = g_r * f_r + g_g * f_g + g_b * f_b
+        gtf = g_t * t_final
+
+        def write_dma(c, slot):
+            return pltpu.make_async_copy(
+                gscratch.at[slot],
+                grads_hbm.at[:, pl.ds(
+                    pl.multiple_of(gbase + c * chunk, chunk), chunk)],
+                osem.at[slot],
+            )
+
+        def chunk_math(f, off, carry):
+            t_carry, cpg = carry
+            gidx = off + sub_iota
+            pair_ok = (gidx >= start) & (gidx < end)
+            alpha, gv, mx, my = _chunk_alpha(f, ox, oy, px_x, px_y, pair_ok)
+            la = jnp.log1p(-alpha)
+            excl = (_incl_cumsum_roll(la) - la if scan_roll
+                    else jnp.dot(ltri, la,
+                                 preferred_element_type=jnp.float32))
+            t_bef = t_carry * jnp.exp(excl)
+            flag = (t_bef * (1.0 - alpha)) >= T_EPS
+            aeff = jnp.where(flag, alpha, 0.0)
+            w = aeff * t_bef
+
+            gc = (f[:, 5:6] * g_r + f[:, 6:7] * g_g + f[:, 7:8] * g_b)
+            wgc = w * gc
+            upg = cpg + (_incl_cumsum_roll(wgc) if scan_roll
+                         else jnp.dot(linc, wgc,
+                                      preferred_element_type=jnp.float32))
+            inv1m = 1.0 / (1.0 - aeff)
+            dl_da = t_bef * gc - inv1m * ((cfg - upg) + gtf)
+            dl_da = jnp.where(aeff > 0.0, dl_da, 0.0)
+
+            dl_dg = f[:, 8:9] * dl_da
+            dl_dop = jnp.sum(gv * dl_da, axis=1, keepdims=True)
+            dl_dpow = dl_dg * gv
+            ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
+            dx = mx - px_x
+            dy = my - px_y
+            u = dl_dpow * dx
+            v = dl_dpow * dy
+            su = jnp.sum(u, axis=1, keepdims=True)
+            sv = jnp.sum(v, axis=1, keepdims=True)
+            d_mx = -(ca * su + cb * sv)
+            d_my = -(cc * sv + cb * su)
+            d_ca = -0.5 * jnp.sum(u * dx, axis=1, keepdims=True)
+            d_cb = -jnp.sum(u * dy, axis=1, keepdims=True)
+            d_cc = -0.5 * jnp.sum(v * dy, axis=1, keepdims=True)
+            d_r = jnp.sum(g_r * w, axis=1, keepdims=True)
+            d_g = jnp.sum(g_g * w, axis=1, keepdims=True)
+            d_b = jnp.sum(g_b * w, axis=1, keepdims=True)
+
+            zeros = jnp.zeros((chunk, 1), jnp.float32)
+            gchunk = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_r, d_g, d_b, dl_dop,
+                 zeros, zeros, zeros, zeros, zeros, zeros, zeros], axis=1
+            )
+            cpg = upg[chunk - 1:chunk, :]
+            la_eff = jnp.where(flag, la, 0.0)
+            t_carry = t_carry * jnp.exp(
+                jnp.sum(la_eff, axis=0, keepdims=True))
+            return (t_carry, cpg), jnp.transpose(gchunk, (1, 0))
+
+        # peeled chunk 0 (prefetched at panel start). Empty segments
+        # (nchunks == 0) still run the masked math but must NOT write.
+        pre_dma(base, k).wait()
+
+        @pl.when(nchunks > 1)
+        def _():
+            read_dma(base + chunk, 1).start()
+
+        init = (
+            jnp.ones((1, npx), jnp.float32),
+            jnp.zeros((1, npx), jnp.float32),
+        )
+        carry0, g0 = chunk_math(jnp.transpose(pre[k], (1, 0)), base, init)
+
+        @pl.when(nchunks > 0)
+        def _():
+            gscratch[0] = g0
+            write_dma(0, 0).start()
+
+        def body(loop):
+            c, carry = loop
+            slot = c % 2
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                read_dma(base + (c + 1) * chunk, (c + 1) % 2).start()
+
+            read_dma(base + c * chunk, slot).wait()
+
+            @pl.when(c >= 2)
+            def _():
+                write_dma(c - 2, slot).wait()
+
+            f = jnp.transpose(fscratch[slot], (1, 0))
+            carry, gchunk = chunk_math(f, base + c * chunk, carry)
+            gscratch[slot] = gchunk
+            write_dma(c, slot).start()
+            return c + 1, carry
+
+        def cond(loop):
+            c, carry = loop
+            return jnp.logical_and(c < nchunks,
+                                   jnp.max(carry[0]) >= T_EPS)
+
+        c_done, _ = jax.lax.while_loop(cond, body, (jnp.int32(1), carry0))
+
+        # drain reads/writes left in flight by early exit
+        @pl.when(jnp.logical_and(c_done < nchunks, nchunks > 1))
+        def _():
+            read_dma(base + c_done * chunk, c_done % 2).wait()
+
+        @pl.when(jnp.logical_and(c_done >= 1, nchunks > 0))
+        def _():
+            write_dma(c_done - 1, (c_done - 1) % 2).wait()
+
+        @pl.when(c_done >= 2)
+        def _():
+            write_dma(c_done - 2, (c_done - 2) % 2).wait()
+
+        # early exit leaves later chunks unwritten — flush zeros
+        @pl.when(c_done < nchunks)
+        def _():
+            gscratch[0] = jnp.zeros((NFEAT, chunk), jnp.float32)
+
+        def zero_body(c, _):
+            dma = write_dma(c, 0)
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(c_done, nchunks, zero_body, 0)
+
+    # last grid step zero-fills the reserved spare chunk
+    @pl.when(jnp.logical_and(r == pl.num_programs(0) - 1,
+                             s == pl.num_programs(1) - 1))
+    def _():
+        gscratch[0] = jnp.zeros((NFEAT, chunk), jnp.float32)
+        dma = pltpu.make_async_copy(
+            gscratch.at[0],
+            grads_hbm.at[:, pl.ds(grad_cap - chunk, chunk)],
+            osem.at[0],
+        )
+        dma.start()
+        dma.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
+                              "pw", "interpret", "scan_roll")
+)
+def composite_fwd_panel(feats, offsets, *, tile, chunk, n_tiles_x,
+                        n_tiles_y, pw, interpret=False, scan_roll=False):
+    """Panel forward: returns (4, nty*tile, npanels_x*pw*tile) image-layout
+    planes (rows 0-2 color without background, row 3 transmittance)."""
+    npanels_x = -(-n_tiles_x // pw)
+    hp = n_tiles_y * tile
+    wp = npanels_x * pw * tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles_y, npanels_x),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (4, tile, pw * tile), lambda r, s, offs: (0, r, s),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((pw, NFEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((pw,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_kernel_panel, tile=tile, chunk=chunk, n_tiles_x=n_tiles_x,
+        pw=pw, scan_roll=scan_roll,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(offsets, feats)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
+                              "pw", "grad_cap", "interpret", "scan_roll")
+)
+def composite_bwd_panel(feats, offsets, grad_offsets, fwd_out, gout, *,
+                        tile, chunk, n_tiles_x, n_tiles_y, pw, grad_cap,
+                        interpret=False, scan_roll=False):
+    """Panel backward. fwd_out/gout are (4, hp, wp) image-layout planes;
+    returns per-pair gradients (NFEAT, grad_cap) exactly like
+    composite_bwd."""
+    npanels_x = -(-n_tiles_x // pw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles_y, npanels_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4, tile, pw * tile),
+                         lambda r, s, offs, goffs: (0, r, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile, pw * tile),
+                         lambda r, s, offs, goffs: (0, r, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((pw, NFEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((pw,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_kernel_panel, tile=tile, chunk=chunk, n_tiles_x=n_tiles_x,
+        pw=pw, grad_cap=grad_cap, scan_roll=scan_roll,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NFEAT, grad_cap), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(offsets, grad_offsets, feats, fwd_out, gout)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "n_tiles_x", "n_tiles_y",
                               "interpret", "scan_roll")

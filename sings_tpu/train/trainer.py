@@ -66,6 +66,7 @@ def default_raster_kw(cfg, height, width):
         tail_capacity=cfg.tpu.raster.tail_capacity,
         pair_cap=cfg.tpu.raster.get("pair_cap"),
         scan_roll=bool(cfg.tpu.raster.get("scan_roll", False)),
+        layout=cfg.tpu.raster.get("layout", "tiled"),
     )
     if jax.default_backend() != "tpu":
         kw.update(chunk=8, interpret=True)

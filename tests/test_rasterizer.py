@@ -300,3 +300,140 @@ def test_scan_roll_matches_matmul_cumsum():
     for a, b in zip(g_r, g_m):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("sh", [False, True])
+def test_panel_layout_matches_reference_forward(sh):
+    """layout='panel' (image-layout kernels, pallas_kernels panel
+    section) must match the dense reference like the tiled layout."""
+    cam, means, scales, quats, opac, feats, bg = make_scene(sh=sh)
+    deg = 3 if sh else 0
+    ref = rasterize(means, scales, quats, opac, feats, cam, sh_degree=deg,
+                    bg=bg, backend="reference")
+    pal = rasterize(means, scales, quats, opac, feats, cam, sh_degree=deg,
+                    bg=bg, backend="pallas", layout="panel", **KW)
+    np.testing.assert_allclose(
+        np.asarray(pal["render"]), np.asarray(ref["render"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(pal["transmittance"]), np.asarray(ref["transmittance"]),
+        atol=2e-5)
+
+
+def test_panel_layout_matches_tiled_bitwise():
+    """Panel and tiled layouts walk pairs in the same order with the
+    same chunk math — the forward image must agree BITWISE (the
+    selection-matmul relayout routes, never accumulates). Backward
+    gradients agree to ~1 ulp only: the compiler contracts the tiled
+    kernel's channel reduction into FMA chains the panel formulation
+    doesn't reproduce, and XLA fuses the preprocess backward
+    differently under the two downstream graphs."""
+    from sings_tpu.ops.rasterizer.api import (
+        RasterConfig, _composite_bwd, _composite_fwd,
+    )
+    from sings_tpu.ops.rasterizer.common import preprocess
+
+    cam, means, scales, quats, opac, feats, bg = make_scene(n=50, seed=5)
+    g2d = preprocess(means, scales, quats, opac, feats, cam, sh_degree=0,
+                     tile=16)
+    results = {}
+    for lay in ("tiled", "panel"):
+        cfg = RasterConfig(height=cam.height, width=cam.width, tile=16,
+                           chunk=8, max_span=8, layout=lay, interpret=True)
+        (color, t_f), res = _composite_fwd(
+            cfg, g2d.means2d, g2d.conics, g2d.colors, g2d.opacities,
+            g2d.depths, g2d.radii.astype(jnp.float32),
+            g2d.mask.astype(jnp.float32))
+        gc = 2.0 * color  # d/dcolor sum(color^2), deterministic cotangent
+        gt = 0.25 * jnp.ones_like(t_f)
+        grads = _composite_bwd(cfg, res, (gc, gt))
+        results[lay] = (color, t_f, grads)
+
+    c_t, tf_t, g_t = results["tiled"]
+    c_p, tf_p, g_p = results["panel"]
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_t))
+    np.testing.assert_array_equal(np.asarray(tf_p), np.asarray(tf_t))
+    for a, b in zip(g_p, g_t):
+        scale = max(1e-6, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5 * scale, rtol=1e-4)
+
+    def run(layout):
+        def loss(means, scales, opac, feats):
+            out = rasterize(means, scales, quats, opac, feats, cam, bg=bg,
+                            backend="pallas", layout=layout, **KW)
+            return jnp.sum(out["render"] ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(
+            means, scales, opac, feats)
+
+    for a, b, name in zip(run("panel"), run("tiled"),
+                          ["means", "scales", "opac", "feats"]):
+        scale = max(1e-3, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5 * scale, rtol=1e-4,
+                                   err_msg=name)
+
+
+def test_panel_layout_nonsquare_and_padding_columns():
+    """ntx=4 tiles < panel width 8: the guard path for panel padding
+    columns must keep empty sub-tiles at bg color and zero grads."""
+    cam, means, scales, quats, opac, feats, bg = make_scene(hw=48)
+    cam = make_camera(np.eye(4), height=40, width=56, fovx=0.9, fovy=0.7)
+    ref = rasterize(means, scales, quats, opac, feats, cam, bg=bg,
+                    backend="reference")
+    pal = rasterize(means, scales, quats, opac, feats, cam, bg=bg,
+                    backend="pallas", layout="panel", **KW)
+    np.testing.assert_allclose(
+        np.asarray(pal["render"]), np.asarray(ref["render"]), atol=2e-5)
+
+    def loss(backend, layout, means, scales, opac, feats):
+        out = rasterize(means, scales, quats, opac, feats, cam, bg=bg,
+                        backend=backend, layout=layout,
+                        **(KW if backend == "pallas" else {}))
+        return jnp.sum((out["render"] - 0.25) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss("reference", "tiled", *a),
+                     argnums=(0, 1, 2, 3))(means, scales, opac, feats)
+    g_pan = jax.grad(lambda *a: loss("pallas", "panel", *a),
+                     argnums=(0, 1, 2, 3))(means, scales, opac, feats)
+    for a, b, name in zip(g_pan, g_ref, ["means", "scales", "opac", "feats"]):
+        scale = max(1e-3, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-3,
+            err_msg=name)
+
+
+@pytest.mark.parametrize("tile", [8, 32])
+def test_panel_layout_nondefault_tile(tile):
+    """pw = 128//tile (16 for tile=8, 4 for tile=32) must thread through
+    the panel grid/guards."""
+    cam, means, scales, quats, opac, feats, bg = make_scene()
+    from sings_tpu.ops.rasterizer.common import preprocess
+    from sings_tpu.ops.rasterizer.reference import composite_dense
+
+    g2d = preprocess(means, scales, quats, opac, feats, cam, tile=tile)
+    img, _ = composite_dense(g2d, cam.height, cam.width, bg, tile=tile)
+    pal = rasterize(means, scales, quats, opac, feats, cam, bg=bg,
+                    tile=tile, chunk=8, max_span=8, layout="panel",
+                    interpret=True)
+    assert jnp.abs(pal["render"] - img).max() < 2e-4
+
+
+def test_panel_layout_early_termination():
+    """Saturated-pixel early exit drains the panel prefetch correctly."""
+    n = 64
+    cam = make_camera(np.eye(4), height=32, width=32, fovx=0.9, fovy=0.9)
+    means = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (n, 1))
+    means = means + jnp.linspace(0, 0.5, n)[:, None] * jnp.array([[0, 0, 1.0]])
+    scales = jnp.full((n, 3), 0.2)
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    opac = jnp.full((n,), 0.95)
+    rgb = jnp.asarray(np.random.RandomState(0).rand(n, 3).astype(np.float32))
+    bg = jnp.ones(3)
+    ref = rasterize(means, scales, quats, opac, rgb, cam, bg=bg,
+                    backend="reference")
+    pal = rasterize(means, scales, quats, opac, rgb, cam, bg=bg,
+                    backend="pallas", layout="panel", **KW)
+    np.testing.assert_allclose(np.asarray(pal["render"]),
+                               np.asarray(ref["render"]), atol=1e-4)
+    assert float(pal["transmittance"].min()) < 1e-3
