@@ -68,12 +68,17 @@ base_kw = dict(tr.raster_kw)
 g2d = jax.jit(lambda: preprocess(
     xyz, scales, rotq, opac, shs, cam, sh_degree=3, alive=alive,
     tile=base_kw.get("tile", 16)))()
-for ms_, pc in ((3, None), (3, 4), (2, None)):
+for ms_, pc, mw, tc in ((3, None, 4, None), (3, 4, 4, None),
+                        (2, None, 4, None),
+                        (3, 4, 2, -(-g2d.means2d.shape[0] // 4 // 128) * 128),
+                        (3, 4, 3, -(-g2d.means2d.shape[0] // 8 // 128) * 128)):
     b = bin_gaussians(g2d, tile=16, n_tiles_x=ntx, n_tiles_y=nty,
                       max_span=ms_, align=128,
-                      max_pairs=base_kw.get("max_pairs"), pair_cap=pc)
-    print(f"max_span={ms_} pair_cap={pc}: pairs={int(b.num_pairs)} "
-          f"overflow={int(b.overflow)}", flush=True)
+                      max_pairs=base_kw.get("max_pairs"), pair_cap=pc,
+                      main_width=mw, tail_capacity=tc)
+    print(f"max_span={ms_} pair_cap={pc} mw={mw} tc={tc}: "
+          f"pairs={int(b.num_pairs)} overflow={int(b.overflow)}",
+          flush=True)
 
 
 def run(tag, **over):
@@ -99,13 +104,18 @@ def _run_inner(tag, kw):
     print(f"{tag}: fwd+bwd {dt:.2f} ms", flush=True)
 
 
-# chip-time-trimmed variant set (each run is a cold remote compile):
-# base, the one pair_cap point the binning stats above justify, and the
-# tile-size hypothesis. Full grid kept in git history.
-run("base")
+# chip-time-trimmed variant set (each run is a cold remote compile).
+# r5 first pass (run_r4 ckpt, docs/PERF.md): base 45.36, pc4 28.25
+# (-38%, adopted), tile8 76.81, tile8+pc4 55.61. This pass measures the
+# panel layout and the narrow un-sort glue at the adopted pc4 point:
+# with pair_cap=4 the main_slot table is (N, 4) but the trained
+# distribution averages ~1.9 real pairs/gaussian, so main_width=2 plus
+# a compacted tail should cut the row-count-bound un-sort gather ~40%.
 run("pc4", pair_cap=4)
-# tile-size sweep: trained splats are tiny (p99 scale ~0.006 -> a few
-# px), so each pair's 16x16=256-px walk is mostly wasted; tile=8 costs
-# 64 px/pair (at half lane occupancy) and slightly more pairs
-run("tile8", tile=8)
-run("tile8 pc4", tile=8, pair_cap=4)
+run("pc4 panel", pair_cap=4, layout="panel")
+run("pc4 mw2", pair_cap=4, main_width=2,
+    tail_capacity=-(-n // 4 // 128) * 128)
+run("pc4 mw2 panel", pair_cap=4, main_width=2,
+    tail_capacity=-(-n // 4 // 128) * 128, layout="panel")
+run("pc4 mw3 panel", pair_cap=4, main_width=3,
+    tail_capacity=-(-n // 8 // 128) * 128, layout="panel")
