@@ -95,11 +95,23 @@ def time_gs(gs):
     return mean_t, max_est
 
 
+def strip_loss_limited(cam, mp):
+    def loss(means, scales, opac, shs, proj, valid_rows):
+        c = cam._replace(proj=proj)
+        out = rasterize(means, scales, quats, opac, shs, c, sh_degree=3,
+                        bg=bg, backend="pallas", tile=16, chunk=128,
+                        max_span=3, max_pairs=mp, valid_rows=valid_rows)
+        return jnp.sum(out["render"] ** 2)
+
+    return loss
+
+
 def time_gs_balanced(gs):
     """Mitigation 2 (docs/SCALING.md): strip boundaries chosen from the
     per-tile-row pair histogram so every rank walks ~equal pairs; all
     ranks rasterize a STATIC h_max window (compiled shape uniform),
-    with the owned region a sub-range — padding tiles walk zero pairs.
+    with the owned region a traced valid_rows sub-range — padding
+    tiles bin zero pairs, so their walks exit immediately.
     Returns (mean strip ms over the h_max programs, max-rank est)."""
     from sings_tpu.ops.rasterizer.common import preprocess
     from sings_tpu.ops.rasterizer.tiles import bin_gaussians
@@ -129,24 +141,27 @@ def time_gs_balanced(gs):
     strips = [camera_strip(cam_full, int(c) * tile, h_max)
               for c in cuts[:-1]]
     projs = jnp.stack([s.proj for s in strips])
-    loss = strip_loss(strips[0], mp)
+    vrows = jnp.asarray(heights.astype(np.float32))
+    loss = strip_loss_limited(strips[0], mp)
 
     def all_strips(means, scales, opac, shs):
-        def one(proj):
+        def one(pv):
+            proj, vr = pv
             return jax.grad(loss, argnums=(0, 1, 2, 3))(
-                means, scales, opac, shs, proj)
+                means, scales, opac, shs, proj, vr)
 
-        return jax.lax.map(one, projs)
+        return jax.lax.map(one, (projs, vrows))
 
     t_all = device_time(all_strips, (means, scales, opac, shs),
                         k1=1, k2=5) * 1e3
     counts = []
-    for s in strips:
+    for s, hgt in zip(strips, heights):
         g2s = jax.jit(lambda m, sc, o, f, c=s: preprocess(
             m, sc, quats, o, f, c, sh_degree=3))(means, scales, opac, shs)
         bs = bin_gaussians(g2s, tile=tile, n_tiles_x=hw // tile,
                            n_tiles_y=h_max // tile, max_span=3, align=128,
-                           max_pairs=mp)
+                           max_pairs=mp,
+                           valid_tiles_y=jnp.asarray(int(hgt) // tile))
         counts.append(int(bs.num_pairs))
     mean_t = t_all / gs
     max_est = mean_t * max(counts) / max(np.mean(counts), 1.0)

@@ -46,6 +46,9 @@ class RasterConfig(NamedTuple):
     # emit image-layout planes directly (no relayout, cross-tile
     # chunk-0 prefetch — see pallas_kernels.py panel section)
     layout: str = "tiled"
+    # static gate for the TRACED valid_rows argument (pair-balanced
+    # strip ownership, tiles.py valid_tiles_y); False = argument unused
+    row_limit: bool = False
     interpret: bool = False
 
     @property
@@ -61,9 +64,9 @@ def _pad_tiles(cfg: RasterConfig):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _composite_tiled(cfg, means2d, conics, colors, opacities, depths,
-                     radii_f, mask_f):
+                     radii_f, mask_f, valid_rows_f):
     out, _res = _composite_fwd(cfg, means2d, conics, colors, opacities,
-                               depths, radii_f, mask_f)
+                               depths, radii_f, mask_f, valid_rows_f)
     return out
 
 
@@ -82,18 +85,21 @@ def _gather_feats(binning, means2d, conics, colors, opacities, chunk):
 
 
 def _composite_fwd(cfg, means2d, conics, colors, opacities, depths,
-                   radii_f, mask_f):
+                   radii_f, mask_f, valid_rows_f):
     ntx, nty = _pad_tiles(cfg)
     g2d = Gaussians2D(
         means2d=means2d, depths=depths, conics=conics, colors=colors,
         opacities=opacities, radii=radii_f.astype(jnp.int32),
         mask=mask_f > 0.5,
     )
+    vty = None
+    if cfg.row_limit:
+        vty = jnp.ceil(valid_rows_f / cfg.tile).astype(jnp.int32)
     binning = bin_gaussians(
         g2d, tile=cfg.tile, n_tiles_x=ntx, n_tiles_y=nty,
         max_span=cfg.max_span, align=cfg.chunk, max_pairs=cfg.max_pairs,
         main_width=cfg.main_width, tail_capacity=cfg.tail_capacity,
-        cull=cfg.cull, pair_cap=cfg.pair_cap,
+        cull=cfg.cull, pair_cap=cfg.pair_cap, valid_tiles_y=vty,
     )
     feats, valid = _gather_feats(binning, means2d, conics, colors,
                                  opacities, cfg.chunk)
@@ -193,7 +199,8 @@ def _composite_bwd(cfg, res, cot):
     d_colors = pg[:, 5:8]
     d_opac = pg[:, 8]
     zeros_n = jnp.zeros((n,), pg.dtype)
-    return (d_means2d, d_conics, d_colors, d_opac, zeros_n, zeros_n, zeros_n)
+    return (d_means2d, d_conics, d_colors, d_opac, zeros_n, zeros_n,
+            zeros_n, jnp.zeros((), pg.dtype))
 
 
 _composite_tiled.defvjp(_composite_fwd, _composite_bwd)
@@ -223,6 +230,7 @@ def rasterize(
     pair_cap: int | None = None,
     scan_roll: bool = False,
     layout: str = "tiled",
+    valid_rows: jax.Array | float | None = None,
     interpret: bool = False,
 ) -> dict:
     """Differentiable gaussian splatting to an image.
@@ -236,6 +244,11 @@ def rasterize(
     screen_probe: optional (N, 2) zeros; its gradient equals the CUDA
     viewspace_points.grad (NDC-convention screen gradients used by
     density control: d pixel * 0.5 * {W, H}).
+
+    valid_rows: optional TRACED pixel-row count this render OWNS
+    (pair-balanced strip sharding, docs/SCALING.md): tile rows beyond
+    it bin no pairs (their walks exit immediately) and render bg;
+    rows below are bit-identical to the unrestricted render.
     """
     if bg is None:
         bg = jnp.zeros(3, means3d.dtype)
@@ -256,11 +269,16 @@ def rasterize(
             height=camera.height, width=camera.width, tile=tile, chunk=chunk,
             max_span=max_span, max_pairs=max_pairs, main_width=main_width,
             tail_capacity=tail_capacity, cull=cull, pair_cap=pair_cap,
-            scan_roll=scan_roll, layout=layout, interpret=interpret,
+            scan_roll=scan_roll, layout=layout,
+            row_limit=valid_rows is not None, interpret=interpret,
         )
+        valid_rows_f = jnp.asarray(
+            camera.height if valid_rows is None else valid_rows,
+            means3d.dtype)
         color, t_final = _composite_tiled(
             cfg, means2d, g2d.conics, g2d.colors, g2d.opacities, g2d.depths,
             g2d.radii.astype(means3d.dtype), g2d.mask.astype(means3d.dtype),
+            valid_rows_f,
         )
         image = color + t_final[None] * bg[:, None, None]
     elif backend == "reference":

@@ -108,6 +108,7 @@ def bin_gaussians(
     tail_capacity: int | None = None,
     cull: bool = True,
     pair_cap: int | None = None,
+    valid_tiles_y: jax.Array | None = None,
 ) -> TileBinning:
     """Build depth-ordered, tile-grouped pair lists (see module doc).
 
@@ -128,6 +129,13 @@ def bin_gaussians(
         (bit-identical image and grads) whenever no gaussian has more
         than pair_cap surviving tiles; excess survivors are dropped
         brightest-rect-first-row order and counted in `overflow`.
+    valid_tiles_y: optional TRACED () int32 — pairs in tile rows >=
+        this are dropped (not overflow-counted). Lets a statically
+        shaped strip window own a dynamic sub-range of rows: tiles
+        beyond the owned range bin zero pairs, so their composite
+        walks exit immediately (pair-balanced strip sharding,
+        docs/SCALING.md mitigation 2). Tiles < valid_tiles_y are
+        bit-identical to the unrestricted binning.
     """
     n = g.means2d.shape[0]
     n_tiles = n_tiles_x * n_tiles_y
@@ -204,6 +212,9 @@ def bin_gaussians(
             jnp.maximum(g.opacities[:, None], 1e-12) * 255.0)
         valid = valid & reach
 
+    if valid_tiles_y is not None:
+        valid = valid & ((y0c[:, None] + dy) < valid_tiles_y)
+
     if pair_cap is not None and pair_cap < cap:
         # row-compact survivors to a prefix, keep the first pair_cap.
         # The 9-wide row argsort is a tiny vectorized bitonic network;
@@ -219,10 +230,10 @@ def bin_gaussians(
         j = jnp.arange(cap, dtype=jnp.int32)
         span = jnp.minimum(nvalid, cap)
         valid = j[None, :] < span[:, None]
-    elif cull:
+    elif cull or valid_tiles_y is not None:
         # culled mid-prefix pairs keep their enumeration slot; the glue
         # span must still bound the last VALID j (prefix property holds
-        # only without culling)
+        # only without culling/row masking)
         span = jnp.where(valid, j[None, :] + 1, 0).max(axis=1)
 
     assert n_tiles * n < 2**31 - 1, "int32 sort key overflow"

@@ -437,3 +437,43 @@ def test_panel_layout_early_termination():
     np.testing.assert_allclose(np.asarray(pal["render"]),
                                np.asarray(ref["render"]), atol=1e-4)
     assert float(pal["transmittance"].min()) < 1e-3
+
+
+@pytest.mark.parametrize("layout", ["tiled", "panel"])
+def test_valid_rows_strip_ownership(layout):
+    """valid_rows (tiles.py valid_tiles_y): tile rows below the traced
+    cutoff are BIT-IDENTICAL to the unrestricted render; rows beyond
+    render pure background and contribute zero gradients."""
+    cam, means, scales, quats, opac, feats, bg = make_scene(n=60, seed=6)
+
+    full = rasterize(means, scales, quats, opac, feats, cam, bg=bg,
+                     backend="pallas", layout=layout, **KW)
+    vr = 32.0  # own the first 2 tile rows of the 3-row image
+    lim = rasterize(means, scales, quats, opac, feats, cam, bg=bg,
+                    backend="pallas", layout=layout,
+                    valid_rows=jnp.asarray(vr), **KW)
+    np.testing.assert_array_equal(np.asarray(lim["render"][:, :32]),
+                                  np.asarray(full["render"][:, :32]))
+    np.testing.assert_allclose(
+        np.asarray(lim["render"][:, 32:]),
+        np.broadcast_to(np.asarray(bg)[:, None, None], (3, 16, 48)),
+        atol=1e-7)
+
+    # gradient flows only from owned rows: compare against cropping the
+    # full render's loss to the owned rows
+    def loss_lim(m):
+        out = rasterize(m, scales, quats, opac, feats, cam, bg=bg,
+                        backend="pallas", layout=layout,
+                        valid_rows=jnp.asarray(vr), **KW)
+        return jnp.sum(out["render"][:, :32] ** 2)
+
+    def loss_crop(m):
+        out = rasterize(m, scales, quats, opac, feats, cam, bg=bg,
+                        backend="pallas", layout=layout, **KW)
+        return jnp.sum(out["render"][:, :32] ** 2)
+
+    g_lim = jax.grad(loss_lim)(means)
+    g_crop = jax.grad(loss_crop)(means)
+    scale = max(1e-3, float(jnp.abs(g_crop).max()))
+    np.testing.assert_allclose(np.asarray(g_lim), np.asarray(g_crop),
+                               atol=1e-5 * scale, rtol=1e-4)
