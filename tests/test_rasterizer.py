@@ -342,7 +342,8 @@ def test_panel_layout_matches_tiled_bitwise():
         (color, t_f), res = _composite_fwd(
             cfg, g2d.means2d, g2d.conics, g2d.colors, g2d.opacities,
             g2d.depths, g2d.radii.astype(jnp.float32),
-            g2d.mask.astype(jnp.float32))
+            g2d.mask.astype(jnp.float32),
+            jnp.asarray(float(cam.height)))
         gc = 2.0 * color  # d/dcolor sum(color^2), deterministic cotangent
         gt = 0.25 * jnp.ones_like(t_f)
         grads = _composite_bwd(cfg, res, (gc, gt))
