@@ -215,7 +215,10 @@ DEFAULTS = {
         # dp shards frames (one optimizer update averages dp frames),
         # gs shards gaussian decode + image strips. dp*gs==1 -> the
         # single-chip jitted step.
-        "mesh": {"dp": 1, "gs": 1},
+        # balance_strips: pair-balanced gs-strip heights from the
+        # training masks' row histogram (docs/SCALING.md mitigation 2);
+        # equal-height strips when false
+        "mesh": {"dp": 1, "gs": 1, "balance_strips": False},
         "lpips_weights": None,     # optional npz of pretrained VGG-LPIPS
         "smpl_model_dir": "/root/reference/data/human_models",
         "parsing_dir":

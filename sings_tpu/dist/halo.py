@@ -64,6 +64,64 @@ def strip_ssim_local(pred: jax.Array, gt: jax.Array, axis_name: str,
     return core.mean() / jax.lax.axis_size(axis_name)
 
 
+def halo_exchange_rows_bounded(x: jax.Array, axis_name: str, halo: int,
+                               h_own: jax.Array) -> jax.Array:
+    """Halo exchange for pair-balanced strips (variable owned heights).
+
+    x is a STATIC (C, h_max, W) strip window that OWNS only its first
+    h_own rows (traced; docs/SCALING.md mitigation 2). The bottom halo
+    from the next rank is placed at the traced row halo + h_own —
+    overwriting the window's padding rows, which belong to the next
+    rank (the overwrite also zeroes their cotangents in the transpose,
+    exactly as the ownership contract requires). Returns
+    (C, h_max + 2*halo, W); rows [halo, halo + h_own) are the owned
+    core with exact full-image SSIM windows.
+    """
+    n = jax.lax.axis_size(axis_name)
+    top_rows = x[:, :halo]
+    bot_rows = jax.lax.dynamic_slice_in_dim(
+        x, jnp.maximum(h_own - halo, 0), halo, axis=1)
+
+    from_prev = jax.lax.ppermute(
+        bot_rows, axis_name, [(i, i + 1) for i in range(n - 1)])
+    from_next = jax.lax.ppermute(
+        top_rows, axis_name, [(i + 1, i) for i in range(n - 1)])
+
+    buf = jnp.concatenate(
+        [from_prev, x, jnp.zeros_like(top_rows)], axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        buf, from_next, halo + h_own, axis=1)
+
+
+def strip_ssim_local_bounded(pred: jax.Array, gt: jax.Array,
+                             axis_name: str, h_own: jax.Array,
+                             full_pixels: float, window_size: int = 11,
+                             sigma: float = 1.5) -> jax.Array:
+    """Local mean-SSIM contribution for a pair-balanced strip.
+
+    pred/gt are (C, h_max, W) windows owning rows [0, h_own);
+    full_pixels = H * W of the FULL image. Rank-sum of the result
+    equals single-device ssim(pred_full, gt_full) — same gradient-
+    safety contract as strip_ssim_local (no psum inside grad)."""
+    from ..ops.ssim import _band_matrix, _blur, _ssim_map
+
+    halo = window_size // 2
+    p = halo_exchange_rows_bounded(pred, axis_name, halo, h_own)
+    g = halo_exchange_rows_bounded(gt, axis_name, halo, h_own)
+
+    bh = jnp.asarray(_band_matrix(p.shape[1], window_size, sigma))
+    bw = jnp.asarray(_band_matrix(p.shape[2], window_size, sigma))
+
+    def blur(x):
+        return _blur(x, bh, bw)
+
+    smap = _ssim_map(blur, p, g)
+    core = smap[:, halo:halo + pred.shape[1]]
+    rm = (jnp.arange(pred.shape[1]) < h_own).astype(core.dtype)
+    return jnp.sum(core * rm[None, :, None]) / (
+        core.shape[0] * full_pixels)
+
+
 def strip_ssim(pred: jax.Array, gt: jax.Array, axis_name: str,
                window_size: int = 11, sigma: float = 1.5) -> jax.Array:
     """Mean SSIM of a strip-sharded image pair, exact vs the full image.

@@ -112,3 +112,41 @@ def replicate(tree: Any, mesh: Mesh):
 
 def shard_batch(tree: Any, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P("dp")))
+
+
+def balanced_strip_bounds(row_weight, n_gs: int, tile: int = 16,
+                          pad_mult: float = 1.0):
+    """Tile-aligned strip boundaries equalizing per-rank work.
+
+    row_weight: (H,) nonnegative per-pixel-row work proxy (mask row
+    sums at trainer init, or per-tile-row pair counts). Greedy cuts at
+    the k/n_gs quantiles of the cumulative weight, constrained so
+    every strip owns >= 1 tile row and boundaries stay tile-aligned.
+    Returns (bounds np.int32 (n_gs + 1,) pixel rows, strip_h_max int)
+    with strip_h_max rounded up to the tile (optionally scaled by
+    pad_mult headroom for later rebalances without a recompile).
+    docs/SCALING.md mitigation 2."""
+    import numpy as _onp
+
+    row_weight = _onp.asarray(row_weight, _onp.float64)
+    h = len(row_weight)
+    assert h % tile == 0, "image height must be tile-aligned"
+    nt = h // tile
+    assert nt >= n_gs, "fewer tile rows than ranks"
+    per_tile = row_weight.reshape(nt, tile).sum(axis=1) + 1e-9
+    cum = _onp.concatenate([[0.0], _onp.cumsum(per_tile)])
+    total = cum[-1]
+    cuts = [0]
+    for k in range(1, n_gs):
+        target = total * k / n_gs
+        r = int(_onp.searchsorted(cum, target))
+        # the tile-row cut whose cumulative weight is closest to the
+        # quantile, constrained to leave >= 1 tile row per strip
+        best = min((max(r - 1, 1), r),
+                   key=lambda c: abs(cum[min(c, nt)] - target))
+        cuts.append(int(_onp.clip(best, cuts[-1] + 1, nt - (n_gs - k))))
+    cuts.append(nt)
+    bounds = _onp.asarray(cuts, _onp.int64) * tile
+    heights = _onp.diff(bounds)
+    strip_h_max = int(-(-int(heights.max() * pad_mult) // tile) * tile)
+    return bounds.astype(_onp.int32), min(strip_h_max, h)

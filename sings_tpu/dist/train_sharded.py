@@ -55,7 +55,7 @@ from ..model.avatar import AvatarConfig, avatar_forward
 from ..ops.graphics import Camera
 from ..ops.rasterizer.api import rasterize
 from ..train.step import StepConfig, _gate_grad, sh_degree_mask
-from .halo import strip_ssim_local
+from .halo import strip_ssim_local, strip_ssim_local_bounded
 from .shard import camera_strip
 
 _GATHER_KEYS = ("xyz", "scales", "rotq", "shs", "opacity",
@@ -90,6 +90,8 @@ def make_frame_loss(
     n_gs: int,
     lpips_params,
     raster_kw: dict,
+    strip_bounds=None,
+    strip_h_max: int | None = None,
 ):
     """Shared per-(frame, gs-rank) loss of the sharded steps.
 
@@ -99,11 +101,26 @@ def make_frame_loss(
     aux) whose rank-sum over the "gs" axis is the full single-chip
     objective. `camera` is the FULL-image camera; its array fields may
     be traced (per-case cameras), height/width must equal the static
-    ints passed here."""
+    ints passed here.
+
+    strip_bounds / strip_h_max: pair-balanced strips (docs/SCALING.md
+    mitigation 2). bounds is an (n_gs + 1,) tile-aligned pixel-row
+    array (bounds[0] = 0, bounds[-1] = height); every rank rasterizes
+    a STATIC strip_h_max-row window at its bound but OWNS only
+    bounds[i+1] - bounds[i] rows — rasterize(valid_rows=...) bins zero
+    pairs beyond the owned range, so the per-rank walk cost tracks the
+    rank's pair share instead of its row share. None = equal strips
+    (the balanced machinery is bypassed entirely)."""
     w = step_cfg.weights
-    assert height % n_gs == 0, "height must split over gs"
+    balanced = strip_bounds is not None
+    if balanced:
+        bounds = jnp.asarray(np.asarray(strip_bounds), jnp.int32)
+        assert bounds.shape == (n_gs + 1,)
+        strip_h = int(strip_h_max)
+    else:
+        assert height % n_gs == 0, "height must split over gs"
+        strip_h = height // n_gs
     assert avatar_cfg.capacity % n_gs == 0, "capacity must split over gs"
-    strip_h = height // n_gs
     gauss_shard = avatar_cfg.capacity // n_gs
     pw = w.photometric
     npatch = pw.num_patches
@@ -143,42 +160,77 @@ def make_frame_loss(
         # ---- rasterize this rank's image strip (full gaussian set);
         # one strip camera with a traced row offset — no per-rank
         # program variants to compile (camera_strip is y0-linear)
-        cam_loc = camera_strip(camera, strip_idx * strip_h, strip_h)
-        pkg = rasterize(
-            out["xyz"], out["scales"], out["rotq"],
-            out["opacity"][:, 0], out["shs"], cam_loc, sh_degree=3,
-            bg=bg, alive=buffers.alive > 0.5, screen_probe=probe,
-            backend="pallas", **raster_kw)
+        if balanced:
+            y0 = bounds[strip_idx]
+            h_own = bounds[strip_idx + 1] - y0
+            cam_loc = camera_strip(camera, y0, strip_h)
+            pkg = rasterize(
+                out["xyz"], out["scales"], out["rotq"],
+                out["opacity"][:, 0], out["shs"], cam_loc, sh_degree=3,
+                bg=bg, alive=buffers.alive > 0.5, screen_probe=probe,
+                backend="pallas",
+                valid_rows=h_own.astype(jnp.float32), **raster_kw)
+            # owned-row mask: padding rows beyond h_own belong to the
+            # next rank (they rendered bg — zero pairs were binned)
+            rm = (jnp.arange(strip_h) < h_own).astype(
+                pkg["render"].dtype)
+        else:
+            y0 = strip_idx * strip_h
+            h_own = strip_h
+            cam_loc = camera_strip(camera, y0, strip_h)
+            pkg = rasterize(
+                out["xyz"], out["scales"], out["rotq"],
+                out["opacity"][:, 0], out["shs"], cam_loc, sh_degree=3,
+                bg=bg, alive=buffers.alive > 0.5, screen_probe=probe,
+                backend="pallas", **raster_kw)
+            rm = None
         # raw render like train/step.py — clamping kills the corrective
         # photometric gradient outside [0,1] (reference parity)
         render = pkg["render"]
 
         # ---- photometric: local strip contributions
-        y0 = strip_idx * strip_h
         mask = frame["mask"]
         gt_full = frame["rgb"] * mask[None] + bg[:, None, None] * (
             1.0 - mask[None])
-        gt = jax.lax.dynamic_slice_in_dim(gt_full, y0, strip_h, axis=1)
-        ms = jax.lax.dynamic_slice_in_dim(mask, y0, strip_h, axis=0)
+        if balanced:
+            # windows may extend past the image bottom: pad, then slice
+            gt = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(gt_full, ((0, 0), (0, strip_h), (0, 0))),
+                y0, strip_h, axis=1)
+            ms = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(mask, ((0, strip_h), (0, 0))), y0, strip_h,
+                axis=0) * rm[:, None]
+        else:
+            gt = jax.lax.dynamic_slice_in_dim(gt_full, y0, strip_h, axis=1)
+            ms = jax.lax.dynamic_slice_in_dim(mask, y0, strip_h, axis=0)
         mask_area = jnp.maximum(mask.sum(), 1.0)
 
         photo_d = {}
         photo = 0.0
         if pw.l1 > 0:
-            photo_d["l1"] = pw.l1 * jnp.abs(render - gt).sum() / mask_area
+            diff = jnp.abs(render - gt)
+            if balanced:
+                diff = diff * rm[None, :, None]
+            photo_d["l1"] = pw.l1 * diff.sum() / mask_area
             photo = photo + photo_d["l1"]
         if pw.ssim > 0:
             frac = mask.sum() / (height * width)
             # rank-sum of (1/n - local) * frac == (1 - ssim_full) * frac
-            photo_d["ssim"] = pw.ssim * (
-                1.0 / n_gs - strip_ssim_local(render, gt, "gs")) * frac
+            local_ssim = (
+                strip_ssim_local_bounded(render, gt, "gs", h_own,
+                                         float(height * width))
+                if balanced else strip_ssim_local(render, gt, "gs"))
+            photo_d["ssim"] = pw.ssim * (1.0 / n_gs - local_ssim) * frac
             photo = photo + photo_d["ssim"]
         if w.silhouette != 0:
             # local strip contribution of mean (1 - T - mask)^2; the
             # gs rank-sum of local sums / (H*W) equals the full-image
             # mean (train/step.py silhouette term)
             sil = 1.0 - pkg["transmittance"]
-            l_sil = jnp.sum((sil - ms) ** 2) / (height * width)
+            sq = (sil - ms) ** 2
+            if balanced:
+                sq = sq * rm[:, None]
+            l_sil = jnp.sum(sq) / (height * width)
             photo_d["sil"] = w.silhouette * l_sil
             photo = photo + photo_d["sil"]
         if lpips is not None or pw.grad_pyramid > 0:
@@ -187,6 +239,18 @@ def make_frame_loss(
             # every rank (replicated mask + key), evaluate round-robin
             render_full = jax.lax.all_gather(render, "gs", axis=1,
                                              tiled=True)
+            if balanced:
+                # reassemble variable-height owned regions from the
+                # gathered h_max windows: row r belongs to the rank
+                # whose bounds bracket it (one gather row per image
+                # row — each source row used at most once, so the
+                # transpose is an exact scatter)
+                rows = jnp.arange(height)
+                owner = jnp.clip(
+                    jnp.searchsorted(bounds, rows, side="right") - 1,
+                    0, n_gs - 1)
+                src = owner * strip_h + (rows - bounds[owner])
+                render_full = render_full[:, src, :]
             k_noise, k_patch = jax.random.split(k_photo)
             noise = jax.random.uniform(k_noise, render_full.shape,
                                        render_full.dtype)
@@ -252,13 +316,21 @@ def make_frame_loss(
         if w.hand_lap_weight * w.hand_strength != 0:
             pos_terms.append((out["xyz_canon"],
                               jnp.ones_like(lap_pos_w), [6, 7]))
+        color_on = w.lap_color_strength != 0
+        if color_on and step_cfg.lap_shared:
+            # one fused table stream for pos+hands+color (see
+            # train/step.py lap_shared)
+            pos_terms.append((out["shs"][:, 0], lap_color_w, None))
         fused = region_lap_pos.loss_fused(pos_terms) if pos_terms else []
         lap_pos = (fused.pop(0) if w.lap_position_strength != 0 else zero)
         hand_raw = fused.pop(0) if w.hand_lap_weight * w.hand_strength \
             != 0 else zero
-        lap_color = (region_lap_color.loss_fused(
-            [(out["shs"][:, 0], lap_color_w, None)])[0]
-            if w.lap_color_strength != 0 else zero)
+        if color_on:
+            lap_color = (fused.pop(0) if step_cfg.lap_shared
+                         else region_lap_color.loss_fused(
+                             [(out["shs"][:, 0], lap_color_w, None)])[0])
+        else:
+            lap_color = zero
         ramp = jnp.clip(
             (step - w.lap_impose_from) / max(w.lap_impose_from, 1), 0, 1)
         alpha = w.lap_position_strength * ramp * jnp.where(
@@ -295,16 +367,25 @@ def make_sharded_train_step(
     tx: optax.GradientTransformation,
     lpips_params,
     raster_kw: dict,
+    strip_bounds=None,
+    strip_h_max: int | None = None,
 ):
     """Build step(params, buffers, opt_state, cache, batch, rng, step,
     active_sh_degree, region_lap_pos, region_lap_color, lap_pos_w,
     lap_color_w) -> (params, buffers, opt_state, metrics), where batch
     arrays lead with the dp-sharded frame axis. All non-batch inputs and
-    outputs are replicated."""
+    outputs are replicated.
+
+    strip_bounds/strip_h_max: pair-balanced strip rows (see
+    make_frame_loss); baked into the compiled step — rebuild the step
+    to rebalance (e.g. after density events)."""
     n_gs = mesh.shape["gs"]
     frame_loss = make_frame_loss(
         avatar_cfg, step_cfg, template, camera.height, camera.width, n_gs,
-        lpips_params, raster_kw)
+        lpips_params, raster_kw, strip_bounds=strip_bounds,
+        strip_h_max=strip_h_max)
+    strip_h_used = (int(strip_h_max) if strip_bounds is not None
+                    else camera.height // n_gs)
 
     def _core(params, buffers, cache, batch, rng, step, active_sh_degree,
               region_lap_pos, region_lap_color, lap_pos_w, lap_color_w):
@@ -351,9 +432,10 @@ def make_sharded_train_step(
 
         # density-control statistics: probe gradients back to the
         # full-image NDC convention (rasterize scaled by the STRIP
-        # height -> multiply y by n_gs), summed over strips and frames
+        # window height -> multiply y by H / strip_h), summed over
+        # strips and frames
         probe_g = jax.lax.psum(probe_grad, "gs") * jnp.asarray(
-            [1.0, float(n_gs)])
+            [1.0, camera.height / float(strip_h_used)])
         visible = jax.lax.pmax(
             aux.pop("visible").astype(jnp.float32), "gs") > 0.5
         radii = jax.lax.pmax(aux.pop("radii").astype(jnp.float32), "gs")

@@ -424,6 +424,15 @@ def _triplane_nested_bwd(meta, res, gout):
         csum = _cumsum_rows(wv[order])
         csum = jnp.concatenate(
             [jnp.zeros((1, wv.shape[1]), csum.dtype), csum], 0)
+        # one fine-resolution boundary table serves EVERY level: cell
+        # ranges nest under the Morton order, so level-l boundaries are
+        # gathers from cum_fine instead of per-level sort-based
+        # searchsorteds (6 ~200k-element sorts -> 1 per orientation)
+        space = 1 << (2 * max((fx - 1).bit_length(),
+                              (fy - 1).bit_length()))
+        cum_fine = jnp.searchsorted(
+            skey, jnp.arange(space + 1, dtype=jnp.int32), side="left",
+            method="sort").astype(jnp.int32)
         for l, (_aa, _bb, h, w) in enumerate(metas_o):
             cy, cx = h - 1, w - 1
             starts_np, ends_np, rank_np = _morton_static(
@@ -431,10 +440,8 @@ def _triplane_nested_bwd(meta, res, gout):
             starts = jnp.asarray(starts_np)
             ends = jnp.asarray(ends_np)
             rank = jnp.asarray(rank_np)
-            lo = jnp.searchsorted(skey, starts, side="left",
-                                  method="sort").astype(jnp.int32)
-            hi = jnp.searchsorted(skey, ends, side="left",
-                                  method="sort").astype(jnp.int32)
+            lo = cum_fine[starts]
+            hi = cum_fine[ends]
             block = csum[:, l * c4:(l + 1) * c4]
             cellsum = block[hi] - block[lo]      # sorted-code order
             cellsum = cellsum[rank]              # row-major cells

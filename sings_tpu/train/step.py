@@ -73,6 +73,13 @@ class StepConfig(NamedTuple):
     #   Single-step dispatches (edge_stat unavailable) fall back to
     #   dense. See losses.regularizers.{edge_stat,gaussians_edge_loss}.
     knn_backend: str = "dense"
+    # True when region_lap_pos and region_lap_color are the SAME
+    # laplacian (the trainer always passes one object twice): the
+    # color term then joins the pos+hands fused apply — one matvec
+    # (one band/table stream fwd + bwd) instead of two. Identity
+    # cannot be detected under jit (both are tracers), hence a static
+    # flag.
+    lap_shared: bool = False
 
 
 def sh_degree_mask(active_degree: jax.Array) -> jax.Array:
@@ -198,21 +205,30 @@ def make_train_step(
                              else step_cfg.knn_backend))
 
             # position + hand laplacians share region_lap_pos's table:
-            # fuse them into one neighbor gather (loss_fused)
+            # fuse them into one neighbor gather / band matvec
+            # (loss_fused). With lap_shared the color term joins too —
+            # one table stream instead of two.
             pos_terms = []
             if w.lap_position_strength != 0:
                 pos_terms.append((out["xyz_anchor_canon"], lap_pos_w, None))
             if w.hand_lap_weight * w.hand_strength != 0:
                 pos_terms.append((out["xyz_canon"],
                                   jnp.ones_like(lap_pos_w), [6, 7]))
+            color_on = w.lap_color_strength != 0
+            if color_on and step_cfg.lap_shared:
+                pos_terms.append((out["shs"][:, 0], lap_color_w, None))
             fused = (region_lap_pos.loss_fused(pos_terms) if pos_terms
                      else [])
             lap_pos = (fused.pop(0) if w.lap_position_strength != 0
                        else zero)
             hand_raw = fused.pop(0) if w.hand_lap_weight * w.hand_strength \
                 != 0 else zero
-            lap_color = (region_lap_color.loss(out["shs"][:, 0], lap_color_w)
-                         if w.lap_color_strength != 0 else zero)
+            if color_on:
+                lap_color = (fused.pop(0) if step_cfg.lap_shared
+                             else region_lap_color.loss(
+                                 out["shs"][:, 0], lap_color_w))
+            else:
+                lap_color = zero
             ramp = jnp.clip(
                 (step - w.lap_impose_from) / max(w.lap_impose_from, 1), 0, 1)
             alpha = w.lap_position_strength * ramp * jnp.where(

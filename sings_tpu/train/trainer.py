@@ -285,6 +285,10 @@ class Trainer:
             opt_app_from=hcfg.opt_app_from,
             opacity_norm_from=max(dc.prune_until_iter, dc.densify_until_iter),
             knn_backend=knn_backend,
+            # the trainer passes ONE region laplacian for both the pos
+            # and color slots (see _rebuild_laplacians) — fuse all
+            # three terms into a single table/band stream
+            lap_shared=True,
         )
         self.lpips_params = get_lpips(cfg.tpu.lpips_weights, seed=cfg.seed)
         if not self.lpips_params.pretrained and loss_cfg.lpips_w > 0:
@@ -342,11 +346,23 @@ class Trainer:
 
             self.mesh = make_mesh(mesh_dp * mesh_gs, dp=mesh_dp)
             self.mesh_dp = mesh_dp
+            strip_bounds, strip_h_max = None, None
+            if mesh_cfg.get("balance_strips") and mesh_gs > 1:
+                # pair-balanced boundaries from the (static) training
+                # masks' row histogram — the person's row density is
+                # the pair-density proxy (docs/SCALING.md mitigation 2)
+                from ..dist.shard import balanced_strip_bounds
+                row_w = np.asarray(self.masks.sum(axis=(0, 2)))
+                strip_bounds, strip_h_max = balanced_strip_bounds(
+                    row_w, mesh_gs, tile=self.raster_kw.get("tile", 16))
+                print(f"[mesh] balanced strips: bounds="
+                      f"{strip_bounds.tolist()} h_max={strip_h_max}")
             self.train_step_sharded = make_sharded_train_step(
                 self.mesh, self.avatar_cfg, step_cfg, self.template,
                 self.camera, self.tx,
                 self.lpips_params if loss_cfg.lpips_w > 0 else None,
-                self.raster_kw)
+                self.raster_kw, strip_bounds=strip_bounds,
+                strip_h_max=strip_h_max)
             # dp frame-batching replaces single-chip dispatch fusion
             self.inner_steps = 1
             print(f"[mesh] training on a (dp={mesh_dp}, gs={mesh_gs}) "

@@ -423,3 +423,104 @@ def test_strip_ssim_matches_full():
     with mesh:
         dist = float(fn(pred, gt))
     np.testing.assert_allclose(dist, full, rtol=1e-5)
+
+
+def test_balanced_strips_grads_match_gs1():
+    """Pair-balanced strips (unequal bounds + valid_rows ownership +
+    bounded SSIM halo): gs=2 with bounds [0, 48, 64] must reproduce the
+    gs=1 objective and gradients (same contract as the equal-strip
+    test above)."""
+    import optax
+
+    from sings_tpu.dist.shard import make_mesh, replicate, shard_batch
+    from sings_tpu.dist.train_sharded import make_sharded_train_step
+
+    (dt, cache, cfg, state, camera, kw, step_cfg, lpips_params,
+     region_lap, lap_w) = _sharded_setup()
+    tx = optax.sgd(1.0)
+    rng = jax.random.PRNGKey(3)
+    batch = _make_batch(camera, 1)
+
+    def grads(gs, bounds=None, h_max=None):
+        mesh = make_mesh(gs, dp=1)
+        step = make_sharded_train_step(
+            mesh, cfg, step_cfg, dt, camera, tx, lpips_params, kw,
+            strip_bounds=bounds, strip_h_max=h_max)
+        with mesh:
+            loss, g = step.grads_fn(
+                replicate(state.params, mesh), replicate(state.buffers, mesh),
+                replicate(cache, mesh), shard_batch(batch, mesh), rng,
+                jnp.asarray(0), jnp.asarray(0),
+                _srl(region_lap, gs), _srl(region_lap, gs),
+                replicate(lap_w, mesh), replicate(lap_w, mesh))
+        return float(loss), jax.tree.map(np.asarray, g)
+
+    l1_, g1 = grads(1)
+    l2_, g2 = grads(2, bounds=np.asarray([0, 48, 64], np.int32), h_max=48)
+    np.testing.assert_allclose(l2_, l1_, rtol=5e-4)
+    for (path, b), a in zip(jax.tree_util.tree_flatten_with_path(g1)[0],
+                            jax.tree.leaves(g2)):
+        b = np.asarray(b)
+        assert not np.isnan(b).any(), f"NaN grads {path}"
+        scale = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(
+            a, b, rtol=0.05, atol=0.05 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_balanced_strip_bounds_helper():
+    from sings_tpu.dist.shard import balanced_strip_bounds
+
+    w = np.exp(-((np.arange(512) - 256) / 60.0) ** 2)
+    b, hm = balanced_strip_bounds(w, 4, tile=16)
+    assert b[0] == 0 and b[-1] == 512
+    assert (np.diff(b) >= 16).all() and (b % 16 == 0).all()
+    assert hm == np.diff(b).max()
+    shares = [w[b[i]:b[i + 1]].sum() / w.sum() for i in range(4)]
+    assert max(shares) < 0.35  # equal strips would give ~0.45+
+    # uniform weights degrade to equal strips
+    b2, hm2 = balanced_strip_bounds(np.ones(512), 4, tile=16)
+    np.testing.assert_array_equal(b2, [0, 128, 256, 384, 512])
+
+
+def test_bounded_halo_ssim_matches_full():
+    """strip_ssim_local_bounded over unequal owned heights rank-sums to
+    the full-image SSIM."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from sings_tpu.dist.halo import strip_ssim_local_bounded
+    from sings_tpu.dist.shard import make_mesh
+    from sings_tpu.ops.ssim import ssim as full_ssim
+
+    rng = np.random.RandomState(0)
+    h, wd = 64, 48
+    a_full = jnp.asarray(rng.rand(3, h, wd).astype(np.float32))
+    b_full = jnp.asarray(rng.rand(3, h, wd).astype(np.float32))
+    bounds = np.asarray([0, 48, 64], np.int32)
+    h_max = 48
+    mesh = make_mesh(2, dp=1)
+
+    # build each rank's window (owned rows + padding garbage)
+    def window(x, k):
+        y0 = bounds[k]
+        win = jnp.zeros((3, h_max, wd)) + 0.777  # garbage padding
+        own = x[:, y0:bounds[k + 1]]
+        return win.at[:, : own.shape[1]].set(own)
+
+    wins_a = jnp.stack([window(a_full, k) for k in range(2)])
+    wins_b = jnp.stack([window(b_full, k) for k in range(2)])
+    h_own = jnp.asarray(np.diff(bounds).astype(np.int32))
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("gs"), P("gs"), P("gs")),
+             out_specs=P(), check_vma=False)
+    def run(wa, wb, ho):
+        local = strip_ssim_local_bounded(
+            wa[0], wb[0], "gs", ho[0, 0], float(h * wd))
+        return jax.lax.psum(jax.lax.pmean(local, "dp"), "gs")[None]
+
+    got = float(run(wins_a, wins_b, h_own[:, None])[0])
+    want = float(full_ssim(a_full, b_full))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)

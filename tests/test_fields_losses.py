@@ -479,3 +479,54 @@ def test_photometric_grad_pyramid_term():
                                 jnp.zeros(3), w, None)
     assert "grad_pyr" in d and float(total) > 0
     assert np.isfinite(float(total))
+
+
+def test_lap_shared_step_matches_separate():
+    """StepConfig.lap_shared=True (color term joins the fused laplacian
+    apply) must be numerically identical to the separate color matvec —
+    same matrix, same weights, one concat'd stream."""
+    import __graft_entry__ as ge
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from sings_tpu.losses.photometric import PhotometricWeights
+    from sings_tpu.train.step import (
+        LossWeights, StepConfig, make_train_step,
+    )
+
+    tpl, dt, cache, cfg, state, camera = ge._tiny_setup()
+    _, region_lap, lap_w = ge._dryrun_pieces(state, camera)
+    kw = ge._raster_kw()
+    tx = optax.sgd(1.0)
+    frame = {
+        "rgb": jnp.zeros((3, camera.height, camera.width)).at[1].set(0.4),
+        "mask": jnp.ones((camera.height, camera.width)),
+        "idx": jnp.zeros((), jnp.int32),
+        "smpl_scale": jnp.ones((1,)),
+    }
+
+    def run(shared):
+        step_cfg = StepConfig(
+            weights=LossWeights(photometric=PhotometricWeights(),
+                                lap_color_strength=5.0),
+            opt_geo_from=0, opt_app_from=0, opacity_norm_from=0,
+            lap_shared=shared,
+        )
+        body = jax.jit(make_train_step(cfg, step_cfg, dt, camera, tx,
+                                       None, kw))
+        p, b, o, m, _ = body(
+            state.params, state.buffers, tx.init(state.params), cache,
+            frame, jax.random.PRNGKey(5), jnp.asarray(0), jnp.asarray(0),
+            region_lap, region_lap, lap_w, lap_w)
+        return jax.tree.map(np.asarray, (p, m))
+
+    p_sep, m_sep = run(False)
+    p_sh, m_sh = run(True)
+    np.testing.assert_allclose(float(m_sh["lap_color"]),
+                               float(m_sep["lap_color"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_sep["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_sh), jax.tree.leaves(p_sep)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
