@@ -424,8 +424,10 @@ def _bwd_kernel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref, grads_hbm,
 def _sel_tables(tile: int):
     """Exact 0/1 selection matrices for (1, tile^2) <-> (tile, tile).
 
-    A: (tile, npx) with A[i, p] = [p // tile == i];
-    B: (npx, tile) with B[p, j] = [p %  tile == j].
+    A:  (tile, npx) with A[i, p]  = [p // tile == i];
+    B:  (npx, tile) with B[p, j]  = [p %  tile == j];
+    BT: (tile, npx) with BT[j, p] = [p %  tile == j] (B's transpose,
+        built directly so the kernels never lower a transpose op).
     row->tile: out[i, j] = sum_p A[i,p] * v[p] * B[p,j] = v[i*tile + j].
     """
     npx = tile * tile
@@ -435,17 +437,18 @@ def _sel_tables(tile: int):
     pj = jax.lax.broadcasted_iota(jnp.int32, (npx, tile), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (npx, tile), 1)
     b = ((pj % tile) == j).astype(jnp.float32)
-    return a, b
+    bt = ((p % tile) == i).astype(jnp.float32)
+    return a, b, bt
 
 
-def _row_to_tile(v, a, b):
+def _row_to_tile(v, a, b, bt):
     """(1, npx) row-major pixel vector -> (tile, tile) image tile."""
     return jnp.dot(a * v, b, preferred_element_type=jnp.float32)
 
 
-def _tile_to_row(m, a, b):
+def _tile_to_row(m, a, b, bt):
     """(tile, tile) image tile -> (1, npx) row-major pixel vector."""
-    t = jnp.dot(m, b.T, preferred_element_type=jnp.float32)  # (tile, npx)
+    t = jnp.dot(m, bt, preferred_element_type=jnp.float32)  # (tile, npx)
     return jnp.sum(a * t, axis=0, keepdims=True)
 
 
@@ -470,7 +473,7 @@ def _fwd_kernel_panel(offs_ref, feats_hbm, out_ref, pre, fscratch, psem, sem,
     px_x, px_y = _pixel_coords_local(tile)
     ltri = None if scan_roll else _tri_strict(chunk)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-    a_sel, b_sel = _sel_tables(tile)
+    a_sel, b_sel, bt_sel = _sel_tables(tile)
 
     def read_dma(off, slot):
         return pltpu.make_async_copy(
@@ -563,10 +566,10 @@ def _fwd_kernel_panel(offs_ref, feats_hbm, out_ref, pre, fscratch, psem, sem,
 
         t_final, acc_r, acc_g, acc_b = carry
         sl = slice(k * tile, (k + 1) * tile)
-        out_ref[0, :, sl] = _row_to_tile(acc_r, a_sel, b_sel)
-        out_ref[1, :, sl] = _row_to_tile(acc_g, a_sel, b_sel)
-        out_ref[2, :, sl] = _row_to_tile(acc_b, a_sel, b_sel)
-        out_ref[3, :, sl] = _row_to_tile(t_final, a_sel, b_sel)
+        out_ref[0, :, sl] = _row_to_tile(acc_r, a_sel, b_sel, bt_sel)
+        out_ref[1, :, sl] = _row_to_tile(acc_g, a_sel, b_sel, bt_sel)
+        out_ref[2, :, sl] = _row_to_tile(acc_b, a_sel, b_sel, bt_sel)
+        out_ref[3, :, sl] = _row_to_tile(t_final, a_sel, b_sel, bt_sel)
 
 
 def _bwd_kernel_panel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref,
@@ -581,7 +584,7 @@ def _bwd_kernel_panel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref,
     ltri = None if scan_roll else _tri_strict(chunk)
     linc = None if scan_roll else _tri_incl(chunk)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-    a_sel, b_sel = _sel_tables(tile)
+    a_sel, b_sel, bt_sel = _sel_tables(tile)
 
     def read_dma(off, slot):
         return pltpu.make_async_copy(
@@ -610,14 +613,14 @@ def _bwd_kernel_panel(offs_ref, goffs_ref, feats_hbm, fwd_ref, gout_ref,
 
         # per-sub-tile cotangent rows (loop-invariant): image-layout
         # planes back to (1, npx) walk rows via the selection matmuls
-        t_final = _tile_to_row(fwd_ref[3, :, sl], a_sel, b_sel)
-        f_r = _tile_to_row(fwd_ref[0, :, sl], a_sel, b_sel)
-        f_g = _tile_to_row(fwd_ref[1, :, sl], a_sel, b_sel)
-        f_b = _tile_to_row(fwd_ref[2, :, sl], a_sel, b_sel)
-        g_r = _tile_to_row(gout_ref[0, :, sl], a_sel, b_sel)
-        g_g = _tile_to_row(gout_ref[1, :, sl], a_sel, b_sel)
-        g_b = _tile_to_row(gout_ref[2, :, sl], a_sel, b_sel)
-        g_t = _tile_to_row(gout_ref[3, :, sl], a_sel, b_sel)
+        t_final = _tile_to_row(fwd_ref[3, :, sl], a_sel, b_sel, bt_sel)
+        f_r = _tile_to_row(fwd_ref[0, :, sl], a_sel, b_sel, bt_sel)
+        f_g = _tile_to_row(fwd_ref[1, :, sl], a_sel, b_sel, bt_sel)
+        f_b = _tile_to_row(fwd_ref[2, :, sl], a_sel, b_sel, bt_sel)
+        g_r = _tile_to_row(gout_ref[0, :, sl], a_sel, b_sel, bt_sel)
+        g_g = _tile_to_row(gout_ref[1, :, sl], a_sel, b_sel, bt_sel)
+        g_b = _tile_to_row(gout_ref[2, :, sl], a_sel, b_sel, bt_sel)
+        g_t = _tile_to_row(gout_ref[3, :, sl], a_sel, b_sel, bt_sel)
         # NOTE: the tiled kernel computes this as jnp.sum(g_rgb * fwd,
         # axis=0), which the compiler contracts into FMA chains — the
         # chained-add form here differs by ~1 ulp (tests compare the
