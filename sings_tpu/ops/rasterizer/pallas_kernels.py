@@ -442,13 +442,20 @@ def _sel_tables(tile: int):
 
 
 def _row_to_tile(v, a, b, bt):
-    """(1, npx) row-major pixel vector -> (tile, tile) image tile."""
-    return jnp.dot(a * v, b, preferred_element_type=jnp.float32)
+    """(1, npx) row-major pixel vector -> (tile, tile) image tile.
+
+    precision=HIGHEST: the default bf16 MXU passes ROUND the routed
+    values (~2e-3 absolute, measured on chip); with the f32 split the
+    0/1 routing is exact — each output is one product of an exact
+    selector with the value."""
+    return jnp.dot(a * v, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _tile_to_row(m, a, b, bt):
     """(tile, tile) image tile -> (1, npx) row-major pixel vector."""
-    t = jnp.dot(m, bt, preferred_element_type=jnp.float32)  # (tile, npx)
+    t = jnp.dot(m, bt, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (tile, npx)
     return jnp.sum(a * t, axis=0, keepdims=True)
 
 

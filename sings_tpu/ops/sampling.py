@@ -85,12 +85,16 @@ def _sample_degenerate(grid, coords):
     return (top * (1 - ty) + bot * ty).T
 
 
-def _cumsum_rows(x, block: int = 512):
+def _cumsum_rows(x, block: int = 128):
     """Inclusive cumsum over axis 0 of (N, D), MXU-blocked.
 
     XLA lowers a long cumsum to log2(N) shifted-add passes over the
-    whole array (~17 passes at 51k rows); one strictly-triangular
-    matmul per block plus a tiny carry chain is ~4x less HBM traffic.
+    whole array (~17 passes at 51k rows); one triangular matmul per
+    block plus a tiny carry chain is ~4x less HBM traffic. The matmul
+    work is N*block*D*2 flops — LINEAR in the block size — so the
+    block should be the smallest MXU-efficient tile: 128 measured
+    4.81 ms vs 15.15 ms at block=512 for the triplane-backward shape
+    ((148k, 384) x3, HIGHEST precision; work/r5_measure/, round 5).
     """
     n, d = x.shape
     # HIGHEST precision is required: the caller reads cell sums as
